@@ -1,0 +1,82 @@
+"""Canonical identity keys as pure Catalyst column expressions.
+
+These reproduce, byte-for-byte, the reference's canonical object key
+(reference rdf.go:102-113) and triple key (reference rdf.go:46-58):
+
+    okey = '"' + val + '"@' + lang          (lang-tagged literal; the
+                                             datatype is OMITTED from
+                                             identity)
+         | '"' + val + '"^^<' + type + '>'  (typed literal)
+         | '_:' + bnode                     (bnode object)
+         | '<' + resource + '>'             (IRI object)
+
+    tkey = ('_:' + sub  if subject is a bnode else  '<' + sub + '>')
+           + '<' + pred + '>' + okey
+
+The tkey is THE identity of the whole engine: dedup, Contains, Remove,
+set-equality and the P/R verifier all operate on it. It is computed
+once and stored as a column (the reference memoizes it the same way,
+rdf.go:46-47), never recomputed per-use.
+
+No UDFs here — `concat`/`when` stay inside whole-stage codegen.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from triplestore_spark.schema import KIND_BNODE, KIND_LITERAL
+
+
+def okey_expr(
+    kind: Column | str = "object_kind",
+    value: Column | str = "object_value",
+    typ: Column | str = "object_type",
+    lang: Column | str = "object_lang",
+) -> Column:
+    """Canonical object key (reference rdf.go:102-113)."""
+    kind = F.col(kind) if isinstance(kind, str) else kind
+    value = F.col(value) if isinstance(value, str) else value
+    typ = F.col(typ) if isinstance(typ, str) else typ
+    lang = F.col(lang) if isinstance(lang, str) else lang
+    # '' means absent; coalesce defends against stray NULLs so concat
+    # never propagates NULL into the key.
+    value = F.coalesce(value, F.lit(""))
+    typ = F.coalesce(typ, F.lit(""))
+    lang = F.coalesce(lang, F.lit(""))
+    return (
+        F.when(
+            kind == KIND_LITERAL,
+            F.when(
+                lang != "", F.concat(F.lit('"'), value, F.lit('"@'), lang)
+            ).otherwise(
+                F.concat(F.lit('"'), value, F.lit('"^^<'), typ, F.lit(">"))
+            ),
+        )
+        .when(kind == KIND_BNODE, F.concat(F.lit("_:"), value))
+        .otherwise(F.concat(F.lit("<"), value, F.lit(">")))
+    )
+
+
+def tkey_expr(
+    subject: Column | str = "subject",
+    subject_is_bnode: Column | str = "subject_is_bnode",
+    predicate: Column | str = "predicate",
+    okey: Column | None = None,
+) -> Column:
+    """Canonical triple key (reference rdf.go:46-58)."""
+    subject = F.col(subject) if isinstance(subject, str) else subject
+    predicate = F.col(predicate) if isinstance(predicate, str) else predicate
+    if isinstance(subject_is_bnode, str):
+        subject_is_bnode = F.col(subject_is_bnode)
+    if okey is None:
+        okey = okey_expr()
+    sub_part = F.when(
+        subject_is_bnode, F.concat(F.lit("_:"), subject)
+    ).otherwise(F.concat(F.lit("<"), subject, F.lit(">")))
+    return F.concat(sub_part, F.lit("<"), predicate, F.lit(">"), okey)
+
+
+def with_keys(df: DataFrame) -> DataFrame:
+    """Append/refresh the `okey` and `tkey` identity columns."""
+    df = df.withColumn("okey", okey_expr())
+    return df.withColumn("tkey", tkey_expr(okey=F.col("okey")))

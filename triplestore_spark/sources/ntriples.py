@@ -1,0 +1,429 @@
+"""Lenient NTriples codec.
+
+Decode reproduces the acceptance behavior of the reference's lenient
+line parser (reference ntparser.go:43-97 and its component scanners
+ntparser.go:99-252): unescaped inner quotes are accepted, terminator
+lookahead skips spaces/tabs, trailing `#` comments after the closing
+dot are tolerated, and the `.LENIENT`-suffixed W3C negative cases all
+parse. Values keep the reference's quirks verbatim — e.g. a literal
+with an explicit `^^<xsd:string>` datatype is NOT unescaped, while a
+bare or lang-tagged literal IS (reference ntparser.go:78-93).
+
+Encode reproduces reference encode.go:193-228 exactly, including the
+context-driven IRI expansion (encode.go:230-246, Go url.QueryEscape ==
+Python urllib.parse.quote_plus with default safe set).
+
+Spark integration: decode is `spark.read.text` -> Catalyst pre-filter
+of blank/comment lines -> `mapInPandas` Arrow-batched parse (the
+state machine genuinely can't be a builtin expression); encode without
+a context is a pure Catalyst `concat/when` expression (whole-stage
+codegen, no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+from urllib.parse import quote_plus
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from triplestore_spark import schema as S
+from triplestore_spark.functions.keys import with_keys
+from triplestore_spark.functions.literals import xsd_namespaced
+
+# ---------------------------------------------------------------------------
+# string literal escaping (reference encode.go:307-311, decode.go:297-301)
+# ---------------------------------------------------------------------------
+
+
+def escape_string_literal(s: str) -> str:
+    return s.replace("\n", "\\n").replace("\r", "\\r")
+
+
+def unescape_string_literal(s: str) -> str:
+    return s.replace("\\n", "\n").replace("\\r", "\r")
+
+
+# ---------------------------------------------------------------------------
+# lenient line parser
+# ---------------------------------------------------------------------------
+
+
+class NTParseError(ValueError):
+    pass
+
+
+def _peek(s: str, i: int):
+    """Next non-space/tab char at/after i, or (None, 0) at end-of-line
+    (reference ntparser.go:265-278)."""
+    adv = 0
+    n = len(s)
+    while i + adv < n:
+        c = s[i + adv]
+        if c not in (" ", "\t"):
+            return c, adv
+        adv += 1
+    return None, 0
+
+
+def _double_peek(s: str, i: int):
+    """(first, advance, second): first two non-space chars
+    (reference ntparser.go:280-286)."""
+    first, adv = _peek(s, i)
+    if first is None:
+        return None, 0, None
+    second, _ = _peek(s, i + adv + 1)
+    return first, adv, second
+
+
+def _parse_iri_subject(s: str, i: int):
+    idx = i
+    n = len(s)
+    while True:
+        if idx >= n:
+            raise NTParseError("invalid IRI subject")
+        r = s[idx]
+        idx += 1
+        if r == ">":
+            found, adv = _peek(s, idx)
+            if found == "<":
+                return s[i : idx - 1], idx + adv
+
+
+def _parse_bnode_subject(s: str, i: int):
+    idx = i
+    n = len(s)
+    while True:
+        if idx >= n:
+            raise NTParseError("invalid bnode subject")
+        r = s[idx]
+        idx += 1
+        if r == "<":
+            return s[i : idx - 1], idx - 1
+        if r in (" ", "\t"):
+            found, adv = _peek(s, idx)
+            if found == "<":
+                return s[i : idx - 1], idx + adv
+
+
+def _parse_predicate(s: str, i: int):
+    idx = i
+    n = len(s)
+    while True:
+        if idx >= n:
+            raise NTParseError("invalid predicate")
+        r = s[idx]
+        idx += 1
+        if r == ">":
+            found, adv = _peek(s, idx)
+            if found in ("<", '"', "_"):
+                return s[i : idx - 1], idx + adv
+
+
+def _parse_iri_object(s: str, i: int):
+    idx = i
+    n = len(s)
+    while True:
+        if idx >= n:
+            raise NTParseError("invalid IRI object")
+        r = s[idx]
+        idx += 1
+        if r == ">":
+            found, adv = _peek(s, idx)
+            if found == ".":
+                return s[i : idx - 1]
+
+
+def _parse_bnode_object(s: str, i: int):
+    idx = i
+    n = len(s)
+    while True:
+        if idx >= n:
+            raise NTParseError("invalid bnode object")
+        r = s[idx]
+        idx += 1
+        if r == ".":
+            found, adv = _peek(s, idx)
+            if found == "#" or found is None:
+                return s[i : idx - 1]
+        if r in (" ", "\t"):
+            found, adv = _peek(s, idx)
+            if found == ".":
+                return s[i : idx - 1]
+
+
+def _parse_literal_object(s: str, i: int):
+    idx = i
+    n = len(s)
+    while True:
+        if idx >= n:
+            raise NTParseError("invalid literal object")
+        r = s[idx]
+        idx += 1
+        if r == '"':
+            first, adv, second = _double_peek(s, idx)
+            if (
+                (first == "." and second == "#")
+                or (first == "." and second is None)
+                or (first == "^" and second == "^")
+                or first == "@"
+            ):
+                return s[i : idx - 1], idx + adv
+
+
+def _parse_langtag(s: str, i: int):
+    idx = i
+    n = len(s)
+    while True:
+        if idx >= n:
+            raise NTParseError("invalid language tag")
+        r = s[idx]
+        idx += 1
+        if r == ".":
+            found, _ = _peek(s, idx)
+            if found == "#" or found is None:
+                return s[i : idx - 1]
+        if r == " ":
+            found, _ = _peek(s, idx)
+            if found == ".":
+                return s[i : idx - 1]
+
+
+def parse_nt_line(line: str) -> Optional[tuple]:
+    """Parse one (already newline-free) NT line into a 7-tuple of
+    TRIPLE_FIELDS, or None for blank/comment lines. Raises NTParseError
+    on lines the reference rejects (ntparser.go:43-97)."""
+    b = line.lstrip(" \t")
+    if not b or b[0] == "#":
+        return None
+
+    if b.startswith("_:"):
+        sub, i = _parse_bnode_subject(b, 2)
+        is_bnode = True
+    elif b.startswith("<"):
+        sub, i = _parse_iri_subject(b, 1)
+        is_bnode = False
+    else:
+        raise NTParseError(f"invalid subject in {b!r}")
+
+    if i < len(b) and b[i] == "<":
+        pred, i = _parse_predicate(b, i + 1)
+    else:
+        raise NTParseError(f"invalid predicate in {b!r}")
+
+    if b.startswith("<", i):
+        val = _parse_iri_object(b, i + 1)
+        return (sub, is_bnode, pred, S.KIND_RESOURCE, val, "", "")
+    if b.startswith("_:", i):
+        val = _parse_bnode_object(b, i + 2)
+        return (sub, is_bnode, pred, S.KIND_BNODE, val, "", "")
+    if b.startswith('"', i):
+        lit, j = _parse_literal_object(b, i + 1)
+        if b.startswith("^^<", j):
+            typ = _parse_iri_object(b, j + 3)
+            # datatype kept verbatim; value NOT unescaped (quirk,
+            # reference ntparser.go:78-87)
+            return (sub, is_bnode, pred, S.KIND_LITERAL, lit, typ, "")
+        if b.startswith("@", j):
+            lang = _parse_langtag(b, j + 1)
+            return (
+                sub,
+                is_bnode,
+                pred,
+                S.KIND_LITERAL,
+                unescape_string_literal(lit),
+                S.XSD_STRING,
+                lang,
+            )
+        return (
+            sub,
+            is_bnode,
+            pred,
+            S.KIND_LITERAL,
+            unescape_string_literal(lit),
+            S.XSD_STRING,
+            "",
+        )
+    raise NTParseError("invalid object")
+
+
+def parse_nt_text(text: str) -> list[tuple]:
+    """Parse a whole NT document (driver-side helper / oracle)."""
+    out = []
+    for line in text.splitlines():
+        row = parse_nt_line(line)
+        if row is not None:
+            out.append(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark decode: text scan -> Arrow-batched parse
+# ---------------------------------------------------------------------------
+
+
+def decode_lines_df(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Decode a DataFrame of NT lines into keyed triples.
+
+    Blank/comment lines are dropped JVM-side before the Python batch
+    boundary so Arrow only ships real work.
+    """
+    trimmed = F.ltrim(F.col(col))
+    lines = lines.where(
+        (F.length(trimmed) > 0) & (F.substring(trimmed, 1, 1) != "#")
+    ).select(F.col(col).alias("value"))
+
+    def _parse_batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for line in pdf["value"]:
+                row = parse_nt_line(line)
+                if row is not None:
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=S.TRIPLE_FIELDS)
+
+    return with_keys(lines.mapInPandas(_parse_batches, schema=S.TRIPLE_SCHEMA))
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Dataset decode: one Spark task per file split — the distributed
+    analog of the reference's goroutine-per-reader DatasetDecoder
+    (reference decode.go:241-295)."""
+    return decode_lines_df(spark.read.text(path))
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def _escape_expr(c: Column) -> Column:
+    return F.replace(
+        F.replace(c, F.lit("\n"), F.lit("\\n")), F.lit("\r"), F.lit("\\r")
+    )
+
+
+def nt_encode_expr() -> Column:
+    """Context-free NT line (no trailing newline) as a pure Catalyst
+    expression (reference encode.go:193-228 with ctx == nil)."""
+    sub = F.when(
+        F.col("subject_is_bnode"), F.concat(F.lit("_:"), F.col("subject"))
+    ).otherwise(F.concat(F.lit("<"), F.col("subject"), F.lit(">")))
+
+    v = F.col("object_value")
+    obj = (
+        F.when(F.col("object_kind") == S.KIND_BNODE, F.concat(F.lit("_:"), v))
+        .when(
+            F.col("object_kind") == S.KIND_RESOURCE,
+            F.concat(F.lit("<"), v, F.lit(">")),
+        )
+        .when(
+            F.col("object_lang") != "",
+            F.concat(F.lit('"'), _escape_expr(v), F.lit('"@'), F.col("object_lang")),
+        )
+        .when(
+            F.col("object_type") == S.XSD_STRING,
+            F.concat(F.lit('"'), _escape_expr(v), F.lit('"')),
+        )
+        .otherwise(
+            F.concat(F.lit('"'), v, F.lit('"^^<'), F.col("object_type"), F.lit(">"))
+        )
+    )
+    return F.concat(sub, F.lit(" <"), F.col("predicate"), F.lit("> "), obj, F.lit(" ."))
+
+
+def build_iri(ctx: Optional[dict], iri: str) -> str:
+    """Prefix expansion + QueryEscape + base prepend
+    (reference encode.go:230-246). `ctx` = {'base': str, 'prefixes': {k: uri}}.
+    Prefixes are applied in sorted-key order (Go iterates its map in
+    random order; sorted is the deterministic choice)."""
+    if not ctx:
+        return iri
+    prefixes = ctx.get("prefixes") or {}
+    for k in sorted(prefixes):
+        p = k + ":"
+        if iri.startswith(p):
+            iri = prefixes[k] + quote_plus(iri[len(p):])
+    base = ctx.get("base") or ""
+    if base and not iri.startswith("http"):
+        iri = base + quote_plus(iri)
+    return iri
+
+
+def encode_triple_py(row: tuple, ctx: Optional[dict] = None) -> str:
+    """Single-triple NT encode incl. trailing ' .\\n'
+    (reference encode.go:193-228)."""
+    sub, is_bnode, pred, kind, value, typ, lang = row
+    if is_bnode:
+        s = "_:" + build_iri(ctx, sub)
+    else:
+        s = "<" + build_iri(ctx, sub) + ">"
+    out = s + " <" + build_iri(ctx, pred) + "> "
+    if kind == S.KIND_BNODE:
+        out += "_:" + value
+    elif kind == S.KIND_RESOURCE:
+        out += "<" + build_iri(ctx, value) + ">"
+    else:
+        if lang:
+            out += '"' + escape_string_literal(value) + '"@' + lang
+        elif typ == S.XSD_STRING:
+            out += '"' + escape_string_literal(value) + '"'
+        else:
+            if ctx is not None:
+                # quirk preserved: with a context lacking an 'xsd'
+                # prefix the object is omitted (encode.go:215-223)
+                if "xsd" in (ctx.get("prefixes") or {}):
+                    out += '"' + value + '"^^<' + xsd_namespaced(typ) + ">"
+            else:
+                out += '"' + value + '"^^<' + typ + ">"
+    return out + " .\n"
+
+
+def encode_df(df: DataFrame, ctx: Optional[dict] = None) -> DataFrame:
+    """Triples -> one-column DataFrame of NT lines (no newline; the
+    text sink adds it)."""
+    if ctx is None:
+        return df.select(nt_encode_expr().alias("value"))
+
+    def _encode_batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            lines = [
+                encode_triple_py(row, ctx)[:-1]  # strip '\n'
+                for row in zip(
+                    pdf["subject"],
+                    pdf["subject_is_bnode"],
+                    pdf["predicate"],
+                    pdf["object_kind"],
+                    pdf["object_value"],
+                    pdf["object_type"],
+                    pdf["object_lang"],
+                )
+            ]
+            yield pd.DataFrame({"value": lines})
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([T.StructField("value", T.StringType())])
+    return df.select(*S.TRIPLE_FIELDS).mapInPandas(_encode_batches, out_schema)
+
+
+def encode_triples(df: DataFrame, ctx: Optional[dict] = None) -> str:
+    """Collect an encoded NT document driver-side (golden tests / CLI).
+    Output is sorted by tkey descending like `Triples.Sort`
+    (reference source.go:53-55) for determinism."""
+    rows = (
+        with_keys(df.select(*S.TRIPLE_FIELDS))
+        .orderBy(F.desc("tkey"))
+        .select(*S.TRIPLE_FIELDS)
+        .collect()
+    )
+    return "".join(encode_triple_py(tuple(r), ctx) for r in rows)
+
+
+def write_ntriples(df: DataFrame, path: str, ctx: Optional[dict] = None) -> None:
+    encode_df(df, ctx).write.mode("overwrite").text(path)
