@@ -1,0 +1,184 @@
+"""Codec roundtrips + W3C suite — mirrors reference codec_test.go and
+ntparser_w3c_test.go."""
+
+import glob
+import os
+import re
+from datetime import datetime, timezone
+
+import pytest
+
+from triplestore_spark.dsl import (
+    Obj,
+    Triple,
+    bnode_pred,
+    lit_datetime,
+    subj_pred,
+    triples_to_df,
+)
+from triplestore_spark.sources.binary import (
+    decode_binary_bytes,
+    encode_triple_bytes,
+)
+from triplestore_spark.sources.ntriples import (
+    NTParseError,
+    encode_triple_py,
+    parse_nt_line,
+    parse_nt_text,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def rows_to_keyset(rows):
+    return {
+        Triple(r[0], r[2], Obj(r[3], r[4], r[5], r[6]), r[1]).tkey() for r in rows
+    }
+
+
+# triple corpus shaped like reference codec_test.go:53-127
+CORPUS = [
+    subj_pred("sub", "pred").resource("obj"),
+    subj_pred("", "").resource(""),
+    subj_pred("sub", "pred").string_literal(""),
+    subj_pred("sub", "pred").string_literal("obj"),
+    subj_pred("sub", "pred").string_literal("line one\nline two"),
+    subj_pred("sub", "pred").string_literal("carriage\rreturn"),
+    subj_pred("sub", "pred").string_literal("x" * 65000),
+    subj_pred("sub", "pred").integer_literal(9223372036854775807),
+    subj_pred("sub", "pred").integer_literal(-9223372036854775808),
+    subj_pred("sub", "pred").boolean_literal(True),
+    subj_pred("sub", "pred").boolean_literal(False),
+    subj_pred("sub", "pred").float64_literal(3.14159),
+    subj_pred("sub", "pred").datetime_literal(
+        datetime(2017, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
+    ),
+    subj_pred("sub", "pred").string_literal_with_lang("obj", "en"),
+    subj_pred("sub", "pred").string_literal_with_lang("obj", "fr-FR"),
+    bnode_pred("bsub", "pred").resource("obj"),
+    bnode_pred("bsub", "pred").string_literal("obj"),
+    subj_pred("sub", "pred").bnode("banon"),
+    bnode_pred("bsub", "pred").bnode("bobj"),
+    subj_pred("sub", "pred").object(Obj("lit", "2", "myinteger")),
+]
+
+
+@pytest.mark.parametrize("t", CORPUS, ids=lambda t: t.tkey()[:40])
+def test_nt_roundtrip_py(t):
+    line = encode_triple_py(t.as_row())
+    rows = parse_nt_text(line)
+    assert len(rows) == 1
+    assert rows_to_keyset(rows) == {t.tkey()}
+
+
+@pytest.mark.parametrize("t", CORPUS, ids=lambda t: t.tkey()[:40])
+def test_binary_roundtrip_py(t):
+    blob = encode_triple_bytes(t.as_row())
+    rows = decode_binary_bytes(blob)
+    assert len(rows) == 1
+    assert rows_to_keyset(rows) == {t.tkey()}
+
+
+def test_binary_multi_document():
+    blob = b"".join(encode_triple_bytes(t.as_row()) for t in CORPUS)
+    rows = decode_binary_bytes(blob)
+    assert rows_to_keyset(rows) == {t.tkey() for t in CORPUS}
+
+
+def test_spark_nt_roundtrip(spark, tmp_path):
+    from triplestore_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    df = triples_to_df(spark, CORPUS)
+    # multiline literals stay on one encoded line (escaped), so the
+    # text sink roundtrips them
+    out = str(tmp_path / "nt")
+    write_ntriples(df, out)
+    back = read_ntriples(spark, out)
+    got = {r["tkey"] for r in back.select("tkey").collect()}
+    assert got == {t.tkey() for t in CORPUS}
+
+
+def test_spark_binary_roundtrip(spark, tmp_path):
+    from triplestore_spark.sources.binary import (
+        encode_binary_triples,
+        read_binary,
+    )
+
+    df = triples_to_df(spark, CORPUS)
+    blob = encode_binary_triples(df)
+    out = tmp_path / "bin" / "doc.bin"
+    out.parent.mkdir()
+    out.write_bytes(blob)
+    back = read_binary(spark, str(out.parent))
+    got = {r["tkey"] for r in back.select("tkey").collect()}
+    assert got == {t.tkey() for t in CORPUS}
+
+
+def test_spark_auto_decode(spark, tmp_path):
+    from triplestore_spark.sources.binary import (
+        encode_binary_triples,
+        read_auto,
+    )
+    from triplestore_spark.sources.ntriples import encode_triples
+
+    df = triples_to_df(spark, CORPUS[:5])
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "doc.bin").write_bytes(encode_binary_triples(df))
+    (d / "doc.nt").write_text(encode_triples(triples_to_df(spark, CORPUS[5:7])))
+    back = read_auto(spark, str(d))
+    got = {r["tkey"] for r in back.select("tkey").collect()}
+    assert got == {t.tkey() for t in CORPUS[:7]}
+
+
+# ---- W3C suite (reference ntparser_w3c_test.go:11-62) ----
+
+_EOL_COMMENT = re.compile(r"(.*\.)\s+(#.*)")
+
+
+def cleanup_nt(text: str) -> str:
+    out = []
+    for line in text.splitlines():
+        if re.match(r"^\s*$", line) or re.match(r"^\s*#", line):
+            continue
+        out.append(_EOL_COMMENT.sub(r"\1", line))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(glob.glob(os.path.join(FIXTURES, "w3c_suite", "positives", "*.nt"))),
+    ids=os.path.basename,
+)
+def test_w3c_positives(path):
+    text = open(path, encoding="utf-8").read()
+    rows = parse_nt_text(text)
+    reencoded = "".join(encode_triple_py(r) for r in rows)
+    expected_path = path + ".expected"
+    if os.path.exists(expected_path):
+        expected = open(expected_path, encoding="utf-8").read()
+    else:
+        expected = cleanup_nt(text)
+    assert cleanup_nt(reencoded) == expected
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(glob.glob(os.path.join(FIXTURES, "w3c_suite", "negatives", "*.nt"))),
+    ids=os.path.basename,
+)
+def test_w3c_negatives(path):
+    # .LENIENT-suffixed files are deliberately NOT here: the lenient
+    # parser accepts them (reference ntparser_w3c_test.go:47-62 globs
+    # only *.nt)
+    text = open(path, encoding="utf-8").read()
+    with pytest.raises(NTParseError):
+        parse_nt_text(text)
+
+
+def test_real_world_sample():
+    text = open(os.path.join(FIXTURES, "sample.nt"), encoding="utf-8").read()
+    rows = parse_nt_text(text)
+    assert len(rows) == 44  # sample.nt holds 44 triples
+    reencoded = "".join(encode_triple_py(r) for r in rows)
+    assert cleanup_nt(reencoded) == cleanup_nt(text)

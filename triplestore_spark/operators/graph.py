@@ -1,0 +1,198 @@
+"""Source / RDFGraph — the reference's entire query surface on DataFrames.
+
+The reference Source is a mutable dedup map keyed by the canonical
+triple key (reference source.go:71-119); its Snapshot() is an
+immutable graph with 7 precomputed hash indexes answering the six
+WithX point lookups plus Contains (reference source.go:130-220).
+
+Spark realization:
+- Source = an ordered op log of add/remove DataFrame batches; snapshot
+  folds it into one deduped, cached DataFrame. Add = unionByName +
+  last-writer-wins on tkey; Remove = left-anti join on tkey — the
+  exact observable semantics of the reference's map upsert/delete.
+- The 7 hash indexes become filters over the canonical table (and,
+  when materialized, over the best-sorted SPO/POS/OSP layout — see
+  operators/materialize.py). Multi-column equality also fixes the
+  reference's unseparated-concat index ambiguity (source.go:148-155
+  concatenates sub+pred without a separator, so "ab"+"c" == "a"+"bc").
+- Snapshot memoization (the reference's dirty flag, source.go:87-97)
+  maps to: no ops since last snapshot -> return the cached graph.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from triplestore_spark import schema as S
+from triplestore_spark.dsl import Obj, Triple, row_to_triple, triples_to_df
+from triplestore_spark.functions.keys import with_keys
+
+_KEYED_COLS = S.TRIPLE_FIELDS + ["okey", "tkey"]
+
+
+def _keyed(df: DataFrame) -> DataFrame:
+    if "tkey" not in df.columns or "okey" not in df.columns:
+        df = with_keys(df)
+    return df.select(*_KEYED_COLS)
+
+
+def dedup_triples(df: DataFrame) -> DataFrame:
+    """Canonical-key dedup — the engine's core 'aggregation'
+    (reference source.go:99-108). Hash partial+final aggregation on
+    tkey; AQE handles skewed keys."""
+    return _keyed(df).dropDuplicates(["tkey"])
+
+
+class RDFGraph:
+    """Immutable, queryable triple set (reference source.go:21-31)."""
+
+    def __init__(self, df: DataFrame, cache: bool = True):
+        self._df = _keyed(df)
+        if cache:
+            self._df = self._df.cache()
+        self._count: Optional[int] = None
+
+    # -- whole-set ops --
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def triples(self) -> DataFrame:
+        """All unique triples (reference source.go:190-197)."""
+        return self._df
+
+    def count(self) -> int:
+        """reference source.go:199-201"""
+        if self._count is None:
+            self._count = self._df.count()
+        return self._count
+
+    def to_list(self) -> list[Triple]:
+        """Driver-side materialization for traversal/tests."""
+        return [row_to_triple(r) for r in self._df.collect()]
+
+    # -- the six point lookups (reference source.go:203-220) --
+
+    def with_subject(self, s: str) -> DataFrame:
+        return self._df.where(F.col("subject") == s)
+
+    def with_predicate(self, p: str) -> DataFrame:
+        return self._df.where(F.col("predicate") == p)
+
+    def with_object(self, o: Obj) -> DataFrame:
+        return self._df.where(F.col("okey") == o.okey())
+
+    def with_subj_obj(self, s: str, o: Obj) -> DataFrame:
+        # the reference 'so' index keys on the raw subject string
+        # regardless of bnode-ness (source.go:151-152)
+        return self._df.where(
+            (F.col("subject") == s) & (F.col("okey") == o.okey())
+        )
+
+    def with_subj_pred(self, s: str, p: str) -> DataFrame:
+        return self._df.where(
+            (F.col("subject") == s) & (F.col("predicate") == p)
+        )
+
+    def with_pred_obj(self, p: str, o: Obj) -> DataFrame:
+        return self._df.where(
+            (F.col("predicate") == p) & (F.col("okey") == o.okey())
+        )
+
+    # -- membership / set ops --
+
+    def contains(self, t: Triple) -> bool:
+        """reference source.go:186-189"""
+        return bool(
+            self._df.where(F.col("tkey") == t.tkey()).limit(1).take(1)
+        )
+
+    def contains_batch(self, other: DataFrame) -> DataFrame:
+        """Batch Contains: the subset of `other` present in this graph
+        (left-semi join on tkey)."""
+        return _keyed(other).join(
+            self._df.select("tkey"), on="tkey", how="left_semi"
+        )
+
+    def equal(self, other: "RDFGraph") -> bool:
+        """Set equality on canonical keys (reference source.go:35-51):
+        symmetric exceptAll emptiness."""
+        a = self._df.select("tkey")
+        b = other._df.select("tkey")
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    def intersect_keys(self, other: "RDFGraph") -> DataFrame:
+        return self._df.join(
+            other._df.select("tkey"), on="tkey", how="left_semi"
+        )
+
+
+class TripleSource:
+    """Mutable triple container (reference source.go:13-18, 71-128)."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._ops: list[tuple[str, DataFrame]] = []
+        self._snap: Optional[RDFGraph] = None
+        self._dirty_at = 0  # number of ops folded into _snap
+
+    def add_df(self, df: DataFrame) -> "TripleSource":
+        self._ops.append(("add", _keyed(df)))
+        return self
+
+    def add(self, *triples: Triple) -> "TripleSource":
+        return self.add_df(triples_to_df(self._spark, triples))
+
+    def remove_df(self, df: DataFrame) -> "TripleSource":
+        self._ops.append(("remove", _keyed(df)))
+        return self
+
+    def remove(self, *triples: Triple) -> "TripleSource":
+        return self.remove_df(triples_to_df(self._spark, triples))
+
+    def copy_triples(self) -> DataFrame:
+        return self._fold()
+
+    def _fold(self) -> DataFrame:
+        """Fold the op log: consecutive adds union together (one dedup),
+        each remove is an anti join. Order preserved — add/remove/add
+        of the same key resolves like the reference's map ops."""
+        current = self._spark.createDataFrame([], S.TRIPLE_SCHEMA_KEYED)
+        pending_adds: list[DataFrame] = []
+
+        def flush(cur: DataFrame) -> DataFrame:
+            nonlocal pending_adds
+            if pending_adds:
+                cur = dedup_triples(cur.unionByName(_union_all(pending_adds)))
+                pending_adds = []
+            return cur
+
+        for op, df in self._ops:
+            if op == "add":
+                pending_adds.append(df)
+            else:
+                current = flush(current)
+                current = current.join(
+                    df.select("tkey").distinct(), on="tkey", how="left_anti"
+                )
+        return flush(current)
+
+    def snapshot(self) -> RDFGraph:
+        """Immutable snapshot; memoized while no new ops arrive
+        (reference source.go:130-133 dirty-flag fast path)."""
+        if self._snap is not None and self._dirty_at == len(self._ops):
+            return self._snap
+        self._snap = RDFGraph(self._fold())
+        self._dirty_at = len(self._ops)
+        return self._snap
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

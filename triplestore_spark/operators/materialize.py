@@ -1,0 +1,162 @@
+"""Materialized graph snapshots: SPO / POS / OSP sorted table layouts.
+
+The reference builds 7 in-memory hash indexes per snapshot
+(reference source.go:130-164). At 100 TB the equivalent is one
+canonical triple table written in three sort orders, so every point
+lookup is a filter on the sort prefix of the best layout:
+
+    WithSubject / WithSubjPred / WithSubjObj / Contains -> SPO
+    WithPredicate / WithPredObj                         -> POS
+    WithObject                                          -> OSP
+
+Each layout is range-partitioned on its leading key and sorted within
+partitions, so Parquet min/max statistics prune both files and row
+groups (Iceberg `write.sorted-by` semantics; locally emulated with
+repartitionByRange + sortWithinPartitions — no Iceberg jars in this
+sandbox, see SURVEY.md §7.4; on a real cluster the writer switches to
+`USING iceberg` DDL with the same sort specs).
+
+Snapshot versioning (the reference's dirty-flag memoization,
+source.go:87-97): `_manifest.json` carries a content fingerprint
+(count + xor of tkey hashes); re-materializing an unchanged source is
+a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from triplestore_spark import schema as S
+from triplestore_spark.dsl import Obj
+from triplestore_spark.operators.graph import RDFGraph, dedup_triples
+
+LAYOUTS = {
+    "spo": ["subject", "predicate", "okey"],
+    "pos": ["predicate", "okey", "subject"],
+    "osp": ["okey", "subject", "predicate"],
+}
+
+MANIFEST = "_manifest.json"
+
+
+def graph_fingerprint(df: DataFrame) -> dict:
+    """Deterministic content fingerprint of a keyed triple set:
+    (count, xor/sum of xxhash64(tkey)). Order-insensitive; cheap
+    (one partial-agg pass, no sort)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("tkey")), F.lit(0)).alias("hx"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64("tkey", F.lit(1))), F.lit(0)
+        ).alias("hx2"),
+    ).collect()[0]
+    return {"count": row["n"], "hx": int(row["hx"]), "hx2": int(row["hx2"])}
+
+
+def materialize_graph(
+    df: DataFrame,
+    path: str,
+    layouts: tuple[str, ...] = ("spo", "pos", "osp"),
+    num_partitions: Optional[int] = None,
+    force: bool = False,
+) -> dict:
+    """Write a deduped canonical triple set in the requested layouts.
+
+    Returns the manifest. Skips the write when the fingerprint matches
+    the existing manifest (snapshot memoization)."""
+    canon = dedup_triples(df).cache()
+    fp = graph_fingerprint(canon)
+
+    manifest_path = os.path.join(path, MANIFEST)
+    if not force and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            old = json.load(f)
+        if old.get("fingerprint") == fp and set(old.get("layouts", [])) >= set(
+            layouts
+        ):
+            canon.unpersist()
+            return old
+
+    if num_partitions is None:
+        # ~one partition per shuffle slot locally; on a cluster size by
+        # target file size (128-512 MB of triples per file)
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+    for layout in layouts:
+        keys = LAYOUTS[layout]
+        (
+            canon.repartitionByRange(num_partitions, *[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, layout))
+        )
+
+    manifest = {
+        "version": 1,
+        "fingerprint": fp,
+        "layouts": list(layouts),
+        "num_partitions": num_partitions,
+        "sort_specs": {layout: LAYOUTS[layout] for layout in layouts},
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    canon.unpersist()
+    return manifest
+
+
+class MaterializedGraph(RDFGraph):
+    """RDFGraph over materialized layouts: every lookup reads the
+    layout whose sort prefix matches the predicate, so Parquet
+    min/max stats skip non-matching files/row-groups."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._spark = spark
+        self._path = path
+        with open(os.path.join(path, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self._layout_cache: dict[str, DataFrame] = {}
+        base = self._layout("spo")
+        super().__init__(base, cache=False)
+        self._count = self.manifest["fingerprint"]["count"]
+
+    def _layout(self, name: str) -> DataFrame:
+        if name not in self._layout_cache:
+            if name not in self.manifest["layouts"]:
+                name = self.manifest["layouts"][0]
+            self._layout_cache[name] = self._spark.read.parquet(
+                os.path.join(self._path, name)
+            )
+        return self._layout_cache[name]
+
+    # route each lookup to the best-sorted copy
+    def with_subject(self, s: str) -> DataFrame:
+        return self._layout("spo").where(F.col("subject") == s)
+
+    def with_subj_pred(self, s: str, p: str) -> DataFrame:
+        return self._layout("spo").where(
+            (F.col("subject") == s) & (F.col("predicate") == p)
+        )
+
+    def with_subj_obj(self, s: str, o: Obj) -> DataFrame:
+        return self._layout("spo").where(
+            (F.col("subject") == s) & (F.col("okey") == o.okey())
+        )
+
+    def with_predicate(self, p: str) -> DataFrame:
+        return self._layout("pos").where(F.col("predicate") == p)
+
+    def with_pred_obj(self, p: str, o: Obj) -> DataFrame:
+        return self._layout("pos").where(
+            (F.col("predicate") == p) & (F.col("okey") == o.okey())
+        )
+
+    def with_object(self, o: Obj) -> DataFrame:
+        return self._layout("osp").where(F.col("okey") == o.okey())
