@@ -1,0 +1,96 @@
+"""Deterministic interleaved text+media corpus builder.
+
+Turns the flat synthetic `documents` table into the pipeline's input
+shape (BASELINE.json input_hint): (doc_id:string,
+spans:array<struct<kind,text,media_ref,offset>>).
+
+Entirely Catalyst higher-order functions (transform/slice/flatten) —
+zero shuffles, zero Python: the corpus build is a narrow map over the
+document scan, so it scales linearly with input splits at any SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from triplestore_spark.pipeline import spec
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def build_corpus(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) -> (doc_id, spans) per the spec."""
+    W = spec.CHUNK_WORDS
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(words) + W - 1) / W).cast("int")
+
+    def text_span(j):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(F.slice(words, j * W + 1, W), " ").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+
+    def media_span(j):
+        return F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(
+                F.lit("media://"), F.col("doc_id"), F.lit("/"), j
+            ).alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+
+    interleaved = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.when(
+                (F.col("doc_id") * 31 + j) % spec.MEDIA_EVERY == 0,
+                F.array(text_span(j), media_span(j)),
+            ).otherwise(F.array(text_span(j))),
+        )
+    )
+    # stamp the final position index into `offset`
+    spans = F.transform(
+        interleaved,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    # two selects: the span lambdas capture the outer `doc_id`, which
+    # must not be shadowed by the 'doc:'-prefixed output alias
+    with_spans = docs.select(
+        "doc_id",
+        F.when(F.size(words) > 0, spans).otherwise(empty).alias("spans"),
+    )
+    return with_spans.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("doc_id"), "spans"
+    )
+
+
+def reassemble_text(corpus: DataFrame) -> DataFrame:
+    """Inverse of build_corpus for the span-sequence invariant: join
+    the text spans back with single spaces (media spans contribute
+    nothing)."""
+    return corpus.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )

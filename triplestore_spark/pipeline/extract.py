@@ -1,0 +1,107 @@
+"""Candidate triple extraction over interleaved spans.
+
+The generalization of the reference's struct-melt entry point
+(reference struct.go:26-85: one value -> one triple per field/element)
+to unstructured input: documents (doc_id, spans) -> candidate triple
+rows. Mentions stay as raw surface forms here; canonicalization is
+the resolve stage's job.
+
+All extraction is Catalyst (explode + split + higher-order functions)
+— the hot path stays in whole-stage codegen; there is no Python UDF
+anywhere in extract/resolve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from triplestore_spark import schema as S
+from triplestore_spark.pipeline import spec
+
+
+def extract_mention_surfaces(corpus: DataFrame) -> DataFrame:
+    """(doc_id, surface) — one row per token occurrence of any text
+    span. Gazetteer filtering happens in resolve (the dictionary IS
+    the mention detector per the spec)."""
+    return (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+            ).alias("span"),
+        )
+        .select(
+            "doc_id", F.explode(F.split(F.col("span.text"), " ")).alias("surface")
+        )
+    )
+
+
+def extract_media_triples(corpus: DataFrame) -> DataFrame:
+    """T2: (doc, kg:hasMedia, <media_ref>) candidate triples."""
+    media = corpus.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "image")
+        ).alias("span"),
+    )
+    return media.select(
+        F.col("doc_id").alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit(spec.PRED_HAS_MEDIA).alias("predicate"),
+        F.lit(S.KIND_RESOURCE).alias("object_kind"),
+        F.col("span.media_ref").alias("object_value"),
+        F.lit("").alias("object_type"),
+        F.lit("").alias("object_lang"),
+    )
+
+
+def extract_metadata_triples(docs: DataFrame) -> DataFrame:
+    """T3-T6 from the raw document metadata. One projection + explode
+    of a 4-element triple array — narrow, shuffle-free."""
+    doc = F.concat(F.lit("doc:"), F.col("doc_id"))
+    words = F.split(F.col("text"), " ")
+    title = F.array_join(F.slice(words, 1, spec.TITLE_WORDS), " ")
+
+    def t(pred, kind, value, typ="", lang=""):
+        return F.struct(
+            doc.alias("subject"),
+            F.lit(False).alias("subject_is_bnode"),
+            F.lit(pred).alias("predicate"),
+            F.lit(kind).alias("object_kind"),
+            value.alias("object_value"),
+            (F.lit(typ) if isinstance(typ, str) else typ).alias("object_type"),
+            (F.lit(lang) if isinstance(lang, str) else lang).alias("object_lang"),
+        )
+
+    triples = F.array(
+        t(
+            spec.PRED_SOURCE,
+            S.KIND_RESOURCE,
+            F.concat(F.lit("src:"), F.col("source")),
+        ),
+        t(
+            spec.PRED_TITLE,
+            S.KIND_LITERAL,
+            title,
+            typ=S.XSD_STRING,
+            lang=F.col("lang"),
+        ),
+        t(
+            spec.PRED_NCHARS,
+            S.KIND_LITERAL,
+            F.col("n_chars").cast("string"),
+            typ=S.XSD_INTEGER,
+        ),
+        t(spec.PRED_TYPE, S.KIND_RESOURCE, F.lit(spec.TYPE_DOCUMENT)),
+    )
+    return docs.select(F.explode(triples).alias("t")).select("t.*")
+
+
+def extract_candidates(corpus: DataFrame, docs: DataFrame) -> dict:
+    """All candidate streams, pre-resolution."""
+    return {
+        "mentions": extract_mention_surfaces(corpus),
+        "media": extract_media_triples(corpus),
+        "metadata": extract_metadata_triples(docs),
+    }

@@ -1,0 +1,67 @@
+"""Entity resolution: canonicalize mention surfaces via dictionary join.
+
+Two physical strategies for the same logical join, chosen by
+dictionary size (SURVEY.md §2.3 J4):
+
+- broadcast hash join (default): the gazetteer/dictionary is tiny
+  relative to executor memory — ship it to every task, no shuffle of
+  the (huge) mention stream at all.
+- salted repartition join: for dictionaries too big to broadcast AND
+  Zipf-skewed surfaces (a handful of entities dominate real corpora —
+  here 'table'/'value' style tokens). The probe side gets
+  salt = pmod(xxhash64(doc_id), n_salts); the dictionary explodes
+  across all salts; the join key becomes (surface, salt) so one hot
+  surface spreads over n_salts reducers. AQE skew-join stays on as
+  backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from triplestore_spark import schema as S
+from triplestore_spark.pipeline import spec
+
+
+def gazetteer_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        sorted(spec.GAZETTEER.items()), ["surface", "iri"]
+    )
+
+
+def resolve_mentions(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    strategy: str = "broadcast",
+    n_salts: int = 16,
+) -> DataFrame:
+    """(doc_id, surface) x (surface, iri) -> distinct candidate
+    mention triples (doc, kg:mentions, <iri>).
+
+    Inner join: surfaces outside the dictionary are not mentions (the
+    dictionary is the detector). The distinct collapses repeat
+    mentions BEFORE the global triple dedup so the shuffle carries
+    (doc, iri) pairs, not token occurrences.
+    """
+    if strategy == "broadcast":
+        joined = mentions.join(F.broadcast(dictionary), on="surface", how="inner")
+    elif strategy == "salted":
+        salts = F.sequence(F.lit(0), F.lit(n_salts - 1))
+        dict_exploded = dictionary.withColumn("salt", F.explode(salts))
+        probe = mentions.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+        )
+        joined = probe.join(dict_exploded, on=["surface", "salt"], how="inner")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    return joined.select(
+        F.col("doc_id").alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit(spec.PRED_MENTIONS).alias("predicate"),
+        F.lit(S.KIND_RESOURCE).alias("object_kind"),
+        F.col("iri").alias("object_value"),
+        F.lit("").alias("object_type"),
+        F.lit("").alias("object_lang"),
+    ).distinct()

@@ -1,0 +1,52 @@
+"""End-to-end pipeline: extract -> canonicalize -> dedup -> materialize.
+
+This is the flagship flow graded by BASELINE.json: triples/sec
+end-to-end on the synthetic interleaved corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from triplestore_spark.functions.keys import with_keys
+from triplestore_spark.operators.graph import dedup_triples
+from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+from triplestore_spark.pipeline.extract import (
+    extract_media_triples,
+    extract_mention_surfaces,
+    extract_metadata_triples,
+)
+from triplestore_spark.pipeline.resolve import gazetteer_df, resolve_mentions
+
+
+def candidate_triples(
+    spark: SparkSession,
+    docs: DataFrame,
+    strategy: str = "broadcast",
+) -> DataFrame:
+    corpus = build_corpus(docs)
+    mentions = resolve_mentions(
+        extract_mention_surfaces(corpus), gazetteer_df(spark), strategy=strategy
+    )
+    media = extract_media_triples(corpus)
+    metadata = extract_metadata_triples(docs)
+    return mentions.unionByName(media).unionByName(metadata)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: Optional[str] = None,
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """documents parquet -> canonical deduped triple DataFrame;
+    optionally materialized as SPO/POS/OSP tables."""
+    docs = read_documents(spark, sf_dir)
+    canon = dedup_triples(with_keys(candidate_triples(spark, docs, strategy)))
+    if out_path:
+        from triplestore_spark.operators.materialize import materialize_graph
+
+        materialize_graph(canon, out_path)
+    return canon
