@@ -1,0 +1,158 @@
+"""Benchmark harness.
+
+Runs the headline flows at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", plus throughput extras}.
+
+The flagship metric mirrors BASELINE.json: triples/sec end-to-end
+extract -> canonicalize -> materialize. Scaling runs (local[8] vs
+local[32]) are driven by tools/bench_scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
+
+    from pyspark.sql import functions as F
+
+    from triplestore_spark.session import get_spark
+
+    spark = get_spark(
+        "triplestore-bench",
+        cpus=cpus,
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from triplestore_spark.operators.materialize import (
+        MaterializedGraph,
+        materialize_graph,
+    )
+    from triplestore_spark.pipeline.run import run_pipeline
+    from triplestore_spark.queries import registry, tpch_graph_triples
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM + parquet footers once so q1 isn't charged for JIT
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+    # q1: end-to-end extract -> canonicalize -> dedup (count action)
+    canon = run_pipeline(spark, sf_dir)
+    n_triples = timed("q1_pipeline_count", lambda: canon.count())
+
+    # q2: same + materialize all three sorted layouts (the full
+    # flagship metric path)
+    out_dir = tempfile.mkdtemp(prefix="ts_bench_")
+    try:
+        timed(
+            "q2_pipeline_materialize",
+            lambda: materialize_graph(
+                run_pipeline(spark, sf_dir), os.path.join(out_dir, "g"), force=True
+            ),
+        )
+
+        g = MaterializedGraph(spark, os.path.join(out_dir, "g"))
+
+        # q3: point lookups on the materialized layouts
+        def lookups():
+            a = g.with_subject("doc:42").count()
+            b = g.with_predicate("kg:mentions").count()
+            c = g.with_pred_obj(
+                "kg:mentions",
+                __import__(
+                    "triplestore_spark.dsl", fromlist=["resource"]
+                ).resource("kg:ent/spark"),
+            ).count()
+            return a + b + c
+
+        timed("q3_point_lookups", lookups)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # q4: graph surface over the TPC-H melt (dedup + agg)
+    timed(
+        "q4_graph_melt_dedup",
+        lambda: tpch_graph_triples(spark, sf_dir)
+        .dropDuplicates(["tkey"])
+        .count(),
+    )
+
+    # q5: entity degree (object-grouping aggregation)
+    reg = registry()
+    timed(
+        "q5_entity_degree",
+        lambda: reg["kg_entity_degree"][0](spark, sf_dir).count(),
+    )
+
+    # q6/q7: codec microbenches — the apples-to-apples comparison with
+    # the reference's published numbers (BASELINE.md: ~2.0 M triples/s
+    # NT encode, in-memory). Encode is the pure-Catalyst expression;
+    # decode is the Arrow-batched parser.
+    from triplestore_spark.sources.ntriples import (
+        decode_lines_df,
+        nt_encode_expr,
+    )
+
+    canon_cached = run_pipeline(spark, sf_dir).cache()
+    n_codec = canon_cached.count()
+    t0 = time.time()
+    lines = canon_cached.select(nt_encode_expr().alias("value"))
+    lines_cached = lines.cache()
+    lines_cached.count()
+    timings["q6_nt_encode"] = round(time.time() - t0, 3)
+    extras["nt_encode_triples_per_sec"] = round(
+        n_codec / timings["q6_nt_encode"], 1
+    )
+    t0 = time.time()
+    decode_lines_df(lines_cached).count()
+    timings["q7_nt_decode"] = round(time.time() - t0, 3)
+    extras["nt_decode_triples_per_sec"] = round(
+        n_codec / timings["q7_nt_decode"], 1
+    )
+    canon_cached.unpersist()
+    lines_cached.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    e2e = timings["q2_pipeline_materialize"]
+    extras["triples"] = n_triples
+    extras["triples_per_sec_e2e"] = round(n_triples / e2e, 1) if e2e else 0.0
+    extras["cpus"] = cpus
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

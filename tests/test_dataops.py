@@ -1,0 +1,226 @@
+"""Training-data ops: dedup family, similarity search, text stats,
+multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+
+
+# ---- dedup ----
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark, docs):
+    """Plant exact + near duplicates with known ids."""
+    base = docs.limit(20)
+    exact = base.where(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(100000)
+    )
+    near = (
+        base.where(F.col("doc_id") == 1)
+        .withColumn("doc_id", F.lit(100001))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tailword")))
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(docs_with_dupes):
+    from triplestore_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    groups = exact_dedup_groups(docs_with_dupes)
+    dupe_group = groups.where(F.col("n_dupes") > 1).collect()
+    assert len(dupe_group) == 1
+    assert dupe_group[0]["canonical_doc_id"] == 0
+
+    kept = exact_dedup(docs_with_dupes)
+    assert kept.count() == 21  # 22 rows - 1 exact dupe
+    assert kept.where(F.col("doc_id") == 100000).count() == 0
+
+
+def test_ngram_jaccard_finds_near_dup(docs_with_dupes):
+    from triplestore_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_with_dupes, n=3, threshold=0.5).collect()
+    }
+    assert (0, 100000) in pairs and pairs[(0, 100000)] == 1.0
+    assert (1, 100001) in pairs and pairs[(1, 100001)] > 0.8
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_with_dupes):
+    from triplestore_spark.operators.dedup import minhash_lsh_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs_with_dupes, n=3, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert (0, 100000) in got
+    assert (1, 100001) in got
+
+
+def test_minhash_deterministic(docs_with_dupes):
+    from triplestore_spark.operators.dedup import minhash_signatures
+
+    a = minhash_signatures(docs_with_dupes.limit(5)).collect()
+    b = minhash_signatures(docs_with_dupes.limit(5)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_near_pairs(docs_with_dupes):
+    from triplestore_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash_fingerprints(docs_with_dupes).collect()}
+    assert fps[0] == fps[100000]  # identical text -> identical simhash
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs_with_dupes, max_hamming=3).collect()
+    }
+    assert got.get((0, 100000)) == 0
+
+
+# ---- similarity ----
+
+
+def test_brute_force_topk(emb):
+    from triplestore_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(emb, query_ids=[0, 1], k=5)
+    rows = out.collect()
+    assert len(rows) == 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_topk_scores_match_exact(emb):
+    """Every LSH-returned (query, neighbor) must carry the exact
+    brute-force cosine (LSH prunes candidates, never distorts scores),
+    and near-identical vectors must always be retrieved at rank 1
+    (the case LSH exists for — random embeddings are near-orthogonal,
+    so top-k recall on them tracks the candidate fraction)."""
+    from triplestore_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    dup = emb.where(F.col("vec_id") == 0).withColumn("vec_id", F.lit(777777))
+    corpus = emb.unionByName(dup)
+    dim = len(emb.select("embedding").first()[0])
+    qids = [0, 1, 2]
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(corpus, qids, k=1000000).collect()
+    }
+    approx = lsh_topk(corpus, qids, k=5, dim=dim, n_planes=6)
+    rows = approx.collect()
+    assert rows, "LSH returned nothing"
+    for r in rows:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    # the planted duplicate of query 0 must be its rank-1 hit
+    rank1 = {r["query_id"]: r for r in rows if r["rank"] == 1}
+    assert rank1[0]["neighbor_id"] == 777777
+    assert rank1[0]["cosine"] == 1.0
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    from triplestore_spark.operators.similarity import embedding_near_dup_pairs
+
+    # plant an exact duplicate vector
+    dup = emb.where(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999999))
+    both = emb.unionByName(dup)
+    dim = len(emb.select("embedding").first()[0])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(both, threshold=0.99, dim=dim).collect()
+    }
+    assert pairs.get((0, 999999)) == 1.0
+
+
+# ---- text stats ----
+
+
+def test_textstats_shapes(docs):
+    from triplestore_spark.operators.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    n = docs.count()
+    assert token_count(docs).count() == n
+    q = quality_score(docs)
+    assert q.where((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    li = lang_id(docs)
+    assert set(r["pred_lang"] for r in li.collect()) <= {"en", "unk"}
+    assert fingerprint(docs).select("fp").distinct().count() <= n
+
+
+# ---- multimodal ----
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    from triplestore_spark.operators.multimodal import (
+        decode_image_features,
+        synth_media_df,
+    )
+    from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+
+    corpus = build_corpus(read_documents(spark, sf_dir))
+    media = synth_media_df(corpus)
+    n_media = media.count()
+    assert n_media > 0
+
+    feats = decode_image_features(media, n_features=8)
+    rows = feats.collect()
+    assert len(rows) == n_media
+    for r in rows[:5]:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert len(r["features"]) == 8
+
+    # determinism: same payload -> same features
+    again = {r["media_ref"]: r["features"] for r in feats.collect()}
+    first = {r["media_ref"]: r["features"] for r in rows}
+    assert again == first
+
+
+def test_multimodal_real_decode_raises(spark, sf_dir):
+    from py4j.protocol import Py4JJavaError
+    from triplestore_spark.operators.multimodal import (
+        decode_image_features,
+        synth_media_df,
+    )
+    from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+
+    corpus = build_corpus(read_documents(spark, sf_dir))
+    media = synth_media_df(corpus).limit(1)
+    with pytest.raises(Exception) as exc:
+        decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "real image decode" in str(
+        exc.value
+    )

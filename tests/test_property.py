@@ -1,0 +1,113 @@
+"""Property tests — the analog of the reference's go-fuzz harnesses
+(reference fuzz/{ntriples,binary}/main.go): arbitrary triples
+round-trip through both codecs; arbitrary bytes never crash the
+decoders (they either parse or raise the typed error)."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from triplestore_spark.dsl import Obj, Triple
+from triplestore_spark.sources.binary import (
+    BinaryDecodeError,
+    decode_binary_bytes,
+    encode_triple_bytes,
+)
+from triplestore_spark.sources.ntriples import (
+    NTParseError,
+    encode_triple_py,
+    parse_nt_line,
+    parse_nt_text,
+)
+
+# NT-safe identifier text: the lenient grammar cannot round-trip every
+# unicode string in IRIs (e.g. '>' inside an IRI is only parseable in
+# some positions); the codec contract is over what the encoder emits
+# for reasonable identifiers, matching the reference's fuzz corpus.
+ident = st.text(
+    alphabet=string.ascii_letters + string.digits + ":/#?&%+-_.~",
+    min_size=0,
+    max_size=40,
+)
+# literal values: any printable unicode incl. newlines (escaped by the
+# codec); quotes excluded — the lenient parser deliberately accepts
+# unescaped quotes, which makes *some* quote placements ambiguous by
+# design (reference ntparser_test.go:40-49 documents the accepted
+# quirk cases, not full generality)
+lit_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters='"'
+    ),
+    max_size=60,
+)
+lang = st.text(alphabet=string.ascii_lowercase + "-", min_size=1, max_size=8)
+typ = st.sampled_from(
+    ["xsd:string", "xsd:integer", "xsd:boolean", "xsd:double", "myinteger"]
+)
+
+
+@st.composite
+def triples(draw):
+    sub = draw(ident)
+    pred = draw(ident)
+    is_bnode = draw(st.booleans())
+    kind = draw(st.sampled_from(["res", "bnode", "lit"]))
+    if kind == "res":
+        obj = Obj("res", draw(ident))
+    elif kind == "bnode":
+        obj = Obj("bnode", draw(ident.filter(lambda s: " " not in s)))
+    else:
+        t = draw(typ)
+        value = draw(lit_text)
+        if t == "xsd:string" and draw(st.booleans()):
+            obj = Obj("lit", value, t, draw(lang))
+        else:
+            if t != "xsd:string":
+                # non-string lexical forms pass through the NT parser
+                # verbatim (no unescape), so exclude raw newlines that
+                # the line-oriented format cannot carry unescaped
+                value = value.replace("\n", "").replace("\r", "").replace(
+                    "\\", ""
+                )
+            obj = Obj("lit", value, t)
+    return Triple(sub, pred, obj, is_bnode)
+
+
+@given(triples())
+@settings(max_examples=300, deadline=None)
+def test_binary_roundtrip_property(t):
+    rows = decode_binary_bytes(encode_triple_bytes(t.as_row()))
+    assert len(rows) == 1
+    sub, isb, pred, kind, val, ty, lg = rows[0]
+    got = Triple(sub, pred, Obj(kind, val, ty, lg), isb)
+    assert got.tkey() == t.tkey()
+
+
+@given(triples())
+@settings(max_examples=300, deadline=None)
+def test_nt_roundtrip_property(t):
+    line = encode_triple_py(t.as_row())
+    rows = parse_nt_text(line)
+    assert len(rows) == 1
+    sub, isb, pred, kind, val, ty, lg = rows[0]
+    got = Triple(sub, pred, Obj(kind, val, ty, lg), isb)
+    assert got.tkey() == t.tkey()
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=500, deadline=None)
+def test_nt_parser_never_crashes(s):
+    try:
+        parse_nt_line(s)
+    except NTParseError:
+        pass  # typed rejection is the contract
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=500, deadline=None)
+def test_binary_decoder_never_crashes(b):
+    try:
+        decode_binary_bytes(b)
+    except (BinaryDecodeError, UnicodeDecodeError):
+        pass  # typed rejection is the contract

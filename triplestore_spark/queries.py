@@ -169,6 +169,32 @@ def _pipeline_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(spark, sf_dir)
 
 
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    return len(_read(spark, sf_dir, "embeddings").select("embedding").first()[0])
+
+
+def _tree_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators.graph import RDFGraph
+    from triplestore_spark.operators.tree import Tree
+
+    g = RDFGraph(tpch_graph_triples(spark, sf_dir), cache=False)
+    # tree edges: region -> its nations (kg:inRegion reversed). Build a
+    # graph with the reversed predicate so Tree's parent/child matches.
+    rev = g.with_predicate("kg:inRegion").select(
+        F.col("object_value").alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit("kg:hasNation").alias("predicate"),
+        F.lit("res").alias("object_kind"),
+        F.col("subject").alias("object_value"),
+        F.lit("").alias("object_type"),
+        F.lit("").alias("object_lang"),
+    )
+    tree = Tree(RDFGraph(rev, cache=False), "kg:hasNation")
+    return tree.descendants("region:0").select(
+        "node", "depth", F.array_join("path", "/").alias("path_str")
+    )
+
+
 def _nt_encode_expr():
     from triplestore_spark.sources.ntriples import nt_encode_expr
 
@@ -393,6 +419,183 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         """,
     )
 
+    # -- tree traversal (J2: frontier joins; oracle = recursive CTE) --
+
+    q["tree_descendants"] = (
+        lambda spark, sf: _tree_descendants(spark, sf),
+        TPCH_TRIPLES_SQL
+        + """
+        , edges AS (
+          SELECT object_value AS parent, subject AS child
+          FROM keyed WHERE predicate = 'kg:inRegion'
+        )
+        SELECT * FROM (
+          WITH RECURSIVE walk(node, depth, path_str) AS (
+            SELECT 'region:0', 0, 'region:0'
+            UNION ALL
+            SELECT e.child, w.depth + 1, w.path_str || '/' || e.child
+            FROM walk w JOIN edges e ON e.parent = w.node
+          )
+          SELECT node, depth, path_str FROM walk
+        )
+        """,
+    )
+
+    # -- event-time window aggregation (events table) --
+
+    q["events_hourly_window"] = (
+        lambda spark, sf: _read(spark, sf, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ),
+        """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+    )
+
+    # -- text stats --
+
+    from triplestore_spark.operators import textstats as TS
+
+    q["ts_token_count"] = (
+        lambda spark, sf: TS.token_count(_read(spark, sf, "documents")),
+        TS.TOKEN_COUNT_SQL,
+    )
+    q["ts_lang_id"] = (
+        lambda spark, sf: TS.lang_id(_read(spark, sf, "documents")),
+        TS.LANG_ID_SQL,
+    )
+    q["ts_quality"] = (
+        lambda spark, sf: TS.quality_score(_read(spark, sf, "documents")),
+        TS.QUALITY_SQL,
+    )
+    q["ts_fingerprint"] = (
+        lambda spark, sf: TS.fingerprint(_read(spark, sf, "documents")),
+        TS.FINGERPRINT_SQL,
+    )
+
+    # -- dedup --
+
+    from triplestore_spark.operators import dedup as DD
+
+    q["dedup_exact_groups"] = (
+        lambda spark, sf: DD.exact_dedup_groups(_read(spark, sf, "documents")),
+        """
+        SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_doc_id,
+               count(*) AS n_dupes
+        FROM documents GROUP BY 1
+        """,
+    )
+    q["dedup_ngram_jaccard"] = (
+        lambda spark, sf: DD.ngram_jaccard_pairs(
+            _read(spark, sf, "documents"), n=3, threshold=0.02
+        ),
+        """
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(sub, ' ') AS shingle
+          FROM (
+            SELECT doc_id,
+                   (string_split(text,' '))[i:i+2] AS sub
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, len(string_split(text,' ')) - 1))
+                          AS i) t
+            WHERE len(string_split(text,' ')) >= 3
+            UNION ALL
+            SELECT doc_id, string_split(text,' ')
+            FROM documents WHERE len(string_split(text,' ')) < 3
+          )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.02
+        """,
+    )
+    # LSH/simhash use xxhash64 (no DuckDB equivalent) -> rows-only checks
+    q["dedup_minhash_lsh"] = (
+        lambda spark, sf: DD.minhash_lsh_pairs(
+            _read(spark, sf, "documents"), n=3, num_hashes=32, bands=8,
+            verify_threshold=0.02,
+        ),
+        None,
+    )
+    q["dedup_simhash"] = (
+        lambda spark, sf: DD.simhash_fingerprints(
+            _read(spark, sf, "documents")
+        ),
+        None,
+    )
+
+    # -- similarity search --
+
+    from triplestore_spark.operators import similarity as SIM
+
+    q["ann_brute_force_topk"] = (
+        lambda spark, sf: SIM.brute_force_topk(
+            _read(spark, sf, "embeddings"), query_ids=[0, 1, 2], k=5
+        ),
+        """
+        WITH queries AS (
+          SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(
+                   CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                 ), 6) AS cosine
+          FROM embeddings e CROSS JOIN queries q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+                 ) AS INT) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+        """,
+    )
+    q["ann_lsh_topk"] = (
+        lambda spark, sf: SIM.lsh_topk(
+            _read(spark, sf, "embeddings"),
+            query_ids=[0, 1, 2],
+            k=5,
+            dim=_emb_dim(spark, sf),
+        ),
+        None,  # hyperplane buckets have no SQL equivalent -> rows-only
+    )
+    q["emb_near_dup"] = (
+        lambda spark, sf: SIM.embedding_near_dup_pairs(
+            _read(spark, sf, "embeddings"),
+            threshold=0.9,
+            dim=_emb_dim(spark, sf),
+        ),
+        None,
+    )
+
     q["nt_encode"] = (
         # S8: NT encoding as data (context-free form)
         lambda spark, sf: graph(spark, sf).select(
@@ -414,4 +617,61 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         """,
     )
 
+    q["nt_roundtrip"] = (
+        # S1+S8 through the gate: encode the melt to NT lines, decode
+        # them back (text -> mapInPandas parser), compare canonical keys
+        lambda spark, sf: _nt_roundtrip(spark, sf),
+        TPCH_TRIPLES_SQL + "SELECT DISTINCT tkey FROM keyed",
+    )
+
+    q["struct_melt_customer"] = (
+        # F9: wide-row melt of the customer table (3 tagged fields)
+        lambda spark, sf: with_keys(
+            melt_df(
+                _read(spark, sf, "customer"),
+                F.concat(F.lit("cust:"), F.col("c_custkey")),
+                [
+                    MeltField("kg:name", F.col("c_name"), typ=S.XSD_STRING),
+                    MeltField(
+                        "kg:nation",
+                        F.concat(F.lit("nation:"), F.col("c_nationkey")),
+                        S.KIND_RESOURCE,
+                    ),
+                    MeltField(
+                        "kg:mktsegment", F.col("c_mktsegment"), typ=S.XSD_STRING
+                    ),
+                ],
+            )
+        ).select("subject", "predicate", "object_value", "tkey"),
+        """
+        WITH melted AS (
+          SELECT 'cust:' || c_custkey AS subject, 'kg:name' AS predicate,
+                 c_name AS object_value,
+                 '"' || c_name || '"^^<xsd:string>' AS okey
+          FROM customer
+          UNION ALL
+          SELECT 'cust:' || c_custkey, 'kg:nation',
+                 'nation:' || c_nationkey,
+                 '<nation:' || c_nationkey || '>'
+          FROM customer
+          UNION ALL
+          SELECT 'cust:' || c_custkey, 'kg:mktsegment', c_mktsegment,
+                 '"' || c_mktsegment || '"^^<xsd:string>'
+          FROM customer
+        )
+        SELECT subject, predicate, object_value,
+               '<' || subject || '><' || predicate || '>' || okey AS tkey
+        FROM melted
+        """,
+    )
+
     return q
+
+
+def _nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators.graph import dedup_triples
+    from triplestore_spark.sources.ntriples import decode_lines_df, encode_df
+
+    g = dedup_triples(tpch_graph_triples(spark, sf_dir))
+    lines = encode_df(g)
+    return decode_lines_df(lines).select("tkey")

@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # 8m advisory (vs 64m default): triple rows are wide strings;
+        # on local[N] the default coalesces small-bench shuffles below
+        # the core count. On a real cluster partition counts are large
+        # either way — this only buys parallelism at the small end.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

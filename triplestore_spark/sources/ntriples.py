@@ -249,9 +249,15 @@ def parse_nt_line(line: str) -> Optional[tuple]:
 
 
 def parse_nt_text(text: str) -> list[tuple]:
-    """Parse a whole NT document (driver-side helper / oracle)."""
+    """Parse a whole NT document (driver-side helper / oracle).
+
+    Splits on '\\n' only (with trailing '\\r' stripped), like Go's
+    bufio.ScanLines — str.splitlines() would also split on \\x1c-\\x1e,
+    \\x85, \\u2028 etc., which are valid characters inside lenient
+    literals."""
     out = []
-    for line in text.splitlines():
+    for line in text.split("\n"):
+        line = line.rstrip("\r")
         row = parse_nt_line(line)
         if row is not None:
             out.append(row)
