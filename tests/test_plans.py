@@ -1,0 +1,101 @@
+"""Physical-plan audits — the plan we want, not just the one that
+passed. Checks predicate pushdown into parquet scans, broadcast join
+selection for the gazetteer, column pruning, and whole-stage codegen
+on the hot paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_str(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def mat_graph(spark, sf_dir, tmp_path_factory):
+    from triplestore_spark.operators.materialize import (
+        MaterializedGraph,
+        materialize_graph,
+    )
+    from triplestore_spark.pipeline.run import run_pipeline
+
+    path = str(tmp_path_factory.mktemp("mg") / "g")
+    materialize_graph(run_pipeline(spark, sf_dir), path, num_partitions=4)
+    return MaterializedGraph(spark, path)
+
+
+def test_point_lookup_pushes_filters(mat_graph):
+    """WithSubject must reach the parquet scan as PushedFilters on the
+    SPO layout — that's what min/max row-group skipping keys on."""
+    df = mat_graph.with_subject("doc:42")
+    plan = plan_str(df)
+    assert "PushedFilters" in plan
+    assert "subject" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(mat_graph):
+    """A 2-column projection must not read all 9 columns."""
+    df = mat_graph.with_predicate("kg:mentions").select(
+        "subject", "object_value"
+    )
+    plan = plan_str(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "subject" in read_schema and "object_value" in read_schema
+    assert "object_lang" not in read_schema
+    assert "tkey" not in read_schema
+
+
+def test_gazetteer_join_is_broadcast(spark, sf_dir):
+    """The ER dictionary join must be a BroadcastHashJoin — a shuffle
+    of the mention stream here would dominate the pipeline at scale."""
+    from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+    from triplestore_spark.pipeline.extract import extract_mention_surfaces
+    from triplestore_spark.pipeline.resolve import gazetteer_df, resolve_mentions
+
+    corpus = build_corpus(read_documents(spark, sf_dir))
+    resolved = resolve_mentions(
+        extract_mention_surfaces(corpus), gazetteer_df(spark)
+    )
+    plan = plan_str(resolved)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_extract_path_whole_stage_codegen(spark, sf_dir):
+    """The extraction scan->explode->project path must run inside
+    WholeStageCodegen spans (no interpreted projection fallbacks)."""
+    from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+    from triplestore_spark.pipeline.extract import extract_metadata_triples
+
+    meta = extract_metadata_triples(read_documents(spark, sf_dir))
+    plan = plan_str(meta)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the tree string
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_is_single_hash_aggregate(spark, sf_dir):
+    """dropDuplicates(tkey) must compile to partial+final HashAggregate
+    (map-side combine), not a global sort."""
+    from triplestore_spark.operators.graph import dedup_triples
+    from triplestore_spark.queries import tpch_graph_triples
+
+    plan = plan_str(dedup_triples(tpch_graph_triples(spark, sf_dir)))
+    assert plan.count("HashAggregate") >= 2
+    assert "Sort " not in plan
+
+
+def test_contains_limits_scan(mat_graph):
+    """Contains compiles to filter + limit 1 — no full materialization."""
+    from triplestore_spark.dsl import subj_pred
+
+    df = mat_graph.df.where(
+        F.col("tkey") == subj_pred("doc:42", "rdf:type").resource("kg:Document").tkey()
+    ).limit(1)
+    plan = plan_str(df)
+    assert "Limit" in plan or "CollectLimit" in plan
+    assert "PushedFilters" in plan

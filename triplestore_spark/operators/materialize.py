@@ -35,10 +35,16 @@ from triplestore_spark import schema as S
 from triplestore_spark.dsl import Obj
 from triplestore_spark.operators.graph import RDFGraph, dedup_triples
 
+# Sort/partition keys are the COMPONENT columns, not the derived
+# okey/tkey strings: the object components induce an equally valid
+# clustering (all rows of one object are contiguous), the range
+# shuffle ships ~150 fewer bytes per row, and point lookups push
+# component equality down onto parquet min/max stats directly.
+_OBJ = ["object_kind", "object_value", "object_type", "object_lang"]
 LAYOUTS = {
-    "spo": ["subject", "predicate", "okey"],
-    "pos": ["predicate", "okey", "subject"],
-    "osp": ["okey", "subject", "predicate"],
+    "spo": ["subject", "predicate", *_OBJ],
+    "pos": ["predicate", *_OBJ, "subject"],
+    "osp": [*_OBJ, "subject", "predicate"],
 }
 
 MANIFEST = "_manifest.json"
@@ -89,11 +95,19 @@ def materialize_graph(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
 
+    from triplestore_spark.functions.keys import with_keys
+
+    bare = canon.select(*S.TRIPLE_FIELDS)
     for layout in layouts:
         keys = LAYOUTS[layout]
         (
-            canon.repartitionByRange(num_partitions, *[F.col(k) for k in keys])
-            .sortWithinPartitions(*keys)
+            # shuffle the bare components; derive okey/tkey AFTER the
+            # exchange (stored for API/pushdown, never shipped)
+            with_keys(
+                bare.repartitionByRange(
+                    num_partitions, *[F.col(k) for k in keys]
+                ).sortWithinPartitions(*keys)
+            )
             .write.mode("overwrite")
             .parquet(os.path.join(path, layout))
         )
@@ -146,17 +160,23 @@ class MaterializedGraph(RDFGraph):
         )
 
     def with_subj_obj(self, s: str, o: Obj) -> DataFrame:
+        from triplestore_spark.operators.graph import object_predicate
+
         return self._layout("spo").where(
-            (F.col("subject") == s) & (F.col("okey") == o.okey())
+            (F.col("subject") == s) & object_predicate(o)
         )
 
     def with_predicate(self, p: str) -> DataFrame:
         return self._layout("pos").where(F.col("predicate") == p)
 
     def with_pred_obj(self, p: str, o: Obj) -> DataFrame:
+        from triplestore_spark.operators.graph import object_predicate
+
         return self._layout("pos").where(
-            (F.col("predicate") == p) & (F.col("okey") == o.okey())
+            (F.col("predicate") == p) & object_predicate(o)
         )
 
     def with_object(self, o: Obj) -> DataFrame:
-        return self._layout("osp").where(F.col("okey") == o.okey())
+        from triplestore_spark.operators.graph import object_predicate
+
+        return self._layout("osp").where(object_predicate(o))

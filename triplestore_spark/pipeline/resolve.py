@@ -17,6 +17,7 @@ dictionary size (SURVEY.md §2.3 J4):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so the pandas-UDF type hints resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,6 +58,72 @@ def resolve_mentions(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     return joined.select(
+        F.col("doc_id").alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit(spec.PRED_MENTIONS).alias("predicate"),
+        F.lit(S.KIND_RESOURCE).alias("object_kind"),
+        F.col("iri").alias("object_value"),
+        F.lit("").alias("object_type"),
+        F.lit("").alias("object_lang"),
+    ).distinct()
+
+
+def link_score_udf():
+    """Vectorized entity-link scorer (SURVEY.md X4): batch similarity
+    between a mention surface and a candidate dictionary surface as an
+    Arrow-batched pandas UDF. Deterministic pure-Python bigram Dice
+    coefficient — no native deps; exact match scores 1.0."""
+    from pyspark.sql.functions import pandas_udf
+
+    def dice(a: str, b: str) -> float:
+        if a == b:
+            return 1.0
+        if len(a) < 2 or len(b) < 2:
+            return 0.0
+        ga = {a[i : i + 2] for i in range(len(a) - 1)}
+        gb = {b[i : i + 2] for i in range(len(b) - 1)}
+        if not ga or not gb:
+            return 0.0
+        return 2.0 * len(ga & gb) / (len(ga) + len(gb))
+
+    @pandas_udf("double")
+    def link_score(mention: pd.Series, candidate: pd.Series) -> pd.Series:
+        return pd.Series(
+            [dice(m, c) for m, c in zip(mention, candidate)], dtype="float64"
+        )
+
+    return link_score
+
+
+def resolve_mentions_fuzzy(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    min_score: float = 0.6,
+) -> DataFrame:
+    """Fuzzy ER path: score every (surface, dictionary-surface) pair
+    that shares a first character (cheap blocking key) with the
+    vectorized link scorer, keep the best candidate above threshold.
+
+    The blocking join is broadcast; only the scoring crosses the
+    Arrow boundary, in batches."""
+    from pyspark.sql.window import Window
+
+    probe = mentions.withColumn("blk", F.substring("surface", 1, 1))
+    dict_blk = dictionary.withColumn(
+        "blk", F.substring("surface", 1, 1)
+    ).withColumnRenamed("surface", "cand_surface")
+    scored = probe.join(F.broadcast(dict_blk), on="blk").withColumn(
+        "score", link_score_udf()(F.col("surface"), F.col("cand_surface"))
+    )
+    w = Window.partitionBy("doc_id", "surface").orderBy(
+        F.desc("score"), F.asc("iri")
+    )
+    best = (
+        scored.where(F.col("score") >= min_score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return best.select(
         F.col("doc_id").alias("subject"),
         F.lit(False).alias("subject_is_bnode"),
         F.lit(spec.PRED_MENTIONS).alias("predicate"),

@@ -44,7 +44,9 @@ def run_pipeline(
     """documents parquet -> canonical deduped triple DataFrame;
     optionally materialized as SPO/POS/OSP tables."""
     docs = read_documents(spark, sf_dir)
-    canon = dedup_triples(with_keys(candidate_triples(spark, docs, strategy)))
+    # keys are computed inside dedup_triples AFTER its shuffle — never
+    # ship the derived key strings through the exchange
+    canon = dedup_triples(candidate_triples(spark, docs, strategy))
     if out_path:
         from triplestore_spark.operators.materialize import materialize_graph
 

@@ -617,6 +617,27 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         """,
     )
 
+    q["kg_mentions_fuzzy"] = (
+        # X4 link-score pandas UDF path: fuzzy ER over the same corpus
+        # (rows-only: bigram-Dice blocking has no clean SQL oracle)
+        lambda spark, sf: _fuzzy_mentions(spark, sf),
+        None,
+    )
+
+    q["typed_nchars_sum"] = (
+        # F6 typed view: parse the xsd:integer nchars literals back to
+        # longs and aggregate them
+        lambda spark, sf: _pipeline_canonical(spark, sf)
+        .where(F.col("predicate") == spec.PRED_NCHARS)
+        .select(
+            _parse_typed("object_value", "object_type", "xsd:integer").alias(
+                "v"
+            )
+        )
+        .agg(F.sum("v").alias("total_chars"), F.count(F.lit(1)).alias("n")),
+        "SELECT sum(n_chars) AS total_chars, count(*) AS n FROM documents",
+    )
+
     q["nt_roundtrip"] = (
         # S1+S8 through the gate: encode the melt to NT lines, decode
         # them back (text -> mapInPandas parser), compare canonical keys
@@ -666,6 +687,26 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     )
 
     return q
+
+
+def _parse_typed(value, typ, expected):
+    from triplestore_spark.functions.typed import parse_typed_col
+
+    return parse_typed_col(value, typ, expected)
+
+
+def _fuzzy_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+    from triplestore_spark.pipeline.extract import extract_mention_surfaces
+    from triplestore_spark.pipeline.resolve import (
+        gazetteer_df,
+        resolve_mentions_fuzzy,
+    )
+
+    corpus = build_corpus(read_documents(spark, sf_dir))
+    return resolve_mentions_fuzzy(
+        extract_mention_surfaces(corpus), gazetteer_df(spark), min_score=0.99
+    ).select("subject", F.col("object_value").alias("entity"))
 
 
 def _nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
