@@ -465,6 +465,49 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         """,
     )
 
+    q["events_sessions"] = (
+        # session windows (30-min inactivity gap) per user — Spark's
+        # session_window vs the classic gaps-and-islands SQL
+        lambda spark, sf: _read(spark, sf, "events")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        ),
+        """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 -- Spark closes a session at ts >= prev + gap (the
+                 -- window is half-open), so the boundary is >=
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS session_id
+          FROM marked
+        ),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events
+          FROM sessions GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS max_session_events
+        FROM per_session GROUP BY 1
+        """,
+    )
+
     # -- text stats --
 
     from triplestore_spark.operators import textstats as TS
