@@ -104,6 +104,34 @@ def test_nt_parser_never_crashes(s):
         pass  # typed rejection is the contract
 
 
+@given(triples())
+@settings(max_examples=300, deadline=None)
+def test_fast_path_equals_state_machine(t):
+    """The regex fast path must produce IDENTICAL rows to the state
+    machine on every encoder-emitted line."""
+    from triplestore_spark.sources.ntriples import parse_nt_line_fast
+
+    line = encode_triple_py(t.as_row()).rstrip("\n")
+    assert parse_nt_line_fast(line) == parse_nt_line(line)
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=500, deadline=None)
+def test_fast_path_equals_state_machine_arbitrary(s):
+    """On arbitrary input: identical accept/reject AND identical rows."""
+    from triplestore_spark.sources.ntriples import parse_nt_line_fast
+
+    try:
+        slow = ("ok", parse_nt_line(s))
+    except NTParseError:
+        slow = ("err", None)
+    try:
+        fast = ("ok", parse_nt_line_fast(s))
+    except NTParseError:
+        fast = ("err", None)
+    assert fast == slow
+
+
 @given(st.binary(max_size=400))
 @settings(max_examples=500, deadline=None)
 def test_binary_decoder_never_crashes(b):
