@@ -147,6 +147,26 @@ def test_lsh_topk_scores_match_exact(emb):
     assert rank1[0]["cosine"] == 1.0
 
 
+def test_ivf_topk(spark, emb):
+    """IVF scores must equal brute force for returned pairs, and the
+    planted duplicate of the query must be its rank-1 hit (it shares
+    the query's cluster by construction)."""
+    from triplestore_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    dup = emb.where(F.col("vec_id") == 2).withColumn("vec_id", F.lit(888888))
+    corpus = emb.unionByName(dup)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(corpus, [2], k=1000000).collect()
+    }
+    rows = ivf_topk(corpus, [2], k=5, n_clusters=8, n_probe=3).collect()
+    assert rows
+    for r in rows:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    rank1 = [r for r in rows if r["rank"] == 1][0]
+    assert rank1["neighbor_id"] == 888888 and rank1["cosine"] == 1.0
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     from triplestore_spark.operators.similarity import embedding_near_dup_pairs
 

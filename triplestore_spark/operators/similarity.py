@@ -161,6 +161,109 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (the lowest-id vectors),
+    JVM-side nearest-centroid assignment, then per-cluster exact
+    scoring as a grouped applyInPandas (one numpy matmul per cluster
+    batch — the standard vectorized ANN shape). Queries probe their
+    n_probe nearest centroids.
+
+    At cluster scale the assignment is a narrow map and scoring
+    shuffles by cluster id — candidates never leave their cluster
+    partition.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cent_rows = (
+        embeddings.orderBy(id_col).limit(n_clusters).collect()
+    )
+    centroids = np.array([r[vec_col] for r in cent_rows], dtype="float64")
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    c_list = centroids.tolist()
+
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    def centroid_score(i):
+        return cosine_expr(
+            vec_d, F.array(*[F.lit(float(x)) for x in c_list[i]])
+        )
+
+    scores = F.array(*[centroid_score(i) for i in range(len(c_list))])
+    assigned = embeddings.withColumn(
+        "cluster",
+        F.array_position(scores, F.array_max(scores)).cast("int") - 1,
+    )
+
+    # queries probe their n_probe nearest centroids
+    qrows = embeddings.where(F.col(id_col).isin(query_ids)).collect()
+    probes = []
+    for r in qrows:
+        q = np.asarray(r[vec_col], dtype="float64")
+        sims = centroids @ (q / np.linalg.norm(q))
+        for c in np.argsort(-sims)[:n_probe]:
+            probes.append((int(r[id_col]), list(map(float, r[vec_col])), int(c)))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, qvec array<double>, cluster int"
+    )
+
+    joined = assigned.join(F.broadcast(probe_df), on="cluster").where(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.array(pdf[vec_col].tolist(), dtype="float64")
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        out = []
+        for qid, grp in pdf.groupby("query_id"):
+            q = np.asarray(grp["qvec"].iloc[0], dtype="float64")
+            q = q / np.linalg.norm(q)
+            idx = grp.index
+            sims = vecs[pdf.index.get_indexer(idx)] @ q
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": grp[id_col].to_numpy(),
+                        "cosine": np.round(sims, 6),
+                    }
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(
+            columns=["query_id", "neighbor_id", "cosine"]
+        )
+
+    scored = joined.groupBy("cluster").applyInPandas(score_cluster, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

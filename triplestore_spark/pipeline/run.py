@@ -26,9 +26,15 @@ def candidate_triples(
     docs: DataFrame,
     strategy: str = "broadcast",
 ) -> DataFrame:
+    from triplestore_spark.pipeline import spec
+
     corpus = build_corpus(docs)
     mentions = resolve_mentions(
-        extract_mention_surfaces(corpus), gazetteer_df(spark), strategy=strategy
+        extract_mention_surfaces(
+            corpus, candidate_surfaces=list(spec.GAZETTEER)
+        ),
+        gazetteer_df(spark),
+        strategy=strategy,
     )
     media = extract_media_triples(corpus)
     metadata = extract_metadata_triples(docs)

@@ -630,6 +630,16 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         None,  # hyperplane buckets have no SQL equivalent -> rows-only
     )
+    q["ann_ivf_topk"] = (
+        lambda spark, sf: SIM.ivf_topk(
+            _read(spark, sf, "embeddings"),
+            query_ids=[0, 1, 2],
+            k=5,
+            n_clusters=8,
+            n_probe=3,
+        ),
+        None,  # approximate candidate set -> rows-only
+    )
     q["emb_near_dup"] = (
         lambda spark, sf: SIM.embedding_near_dup_pairs(
             _read(spark, sf, "embeddings"),
