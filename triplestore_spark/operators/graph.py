@@ -133,9 +133,18 @@ class RDFGraph:
     # -- membership / set ops --
 
     def contains(self, t: Triple) -> bool:
-        """reference source.go:186-189"""
+        """Membership by canonical identity (reference source.go:186-189).
+        Component-equality filter so the predicate pushes down onto
+        parquet stats even where tkey is a derived column."""
         return bool(
-            self._df.where(F.col("tkey") == t.tkey()).limit(1).take(1)
+            self._df.where(
+                (F.col("subject") == t.subject)
+                & (F.col("subject_is_bnode") == t.subject_is_bnode)
+                & (F.col("predicate") == t.predicate)
+                & object_predicate(t.obj)
+            )
+            .limit(1)
+            .take(1)
         )
 
     def contains_batch(self, other: DataFrame) -> DataFrame:

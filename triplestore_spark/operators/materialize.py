@@ -95,19 +95,16 @@ def materialize_graph(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
 
-    from triplestore_spark.functions.keys import with_keys
-
     bare = canon.select(*S.TRIPLE_FIELDS)
     for layout in layouts:
         keys = LAYOUTS[layout]
         (
-            # shuffle the bare components; derive okey/tkey AFTER the
-            # exchange (stored for API/pushdown, never shipped)
-            with_keys(
-                bare.repartitionByRange(
-                    num_partitions, *[F.col(k) for k in keys]
-                ).sortWithinPartitions(*keys)
-            )
+            # store the 7 component columns ONLY: the derived okey/
+            # tkey strings (~150 B/row x 3 layout copies) are pure
+            # redundancy — they are derived at scan time by a codegen
+            # concat, and every lookup pushes down component equality
+            bare.repartitionByRange(num_partitions, *[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
             .write.mode("overwrite")
             .parquet(os.path.join(path, layout))
         )
@@ -145,8 +142,12 @@ class MaterializedGraph(RDFGraph):
         if name not in self._layout_cache:
             if name not in self.manifest["layouts"]:
                 name = self.manifest["layouts"][0]
-            self._layout_cache[name] = self._spark.read.parquet(
-                os.path.join(self._path, name)
+            from triplestore_spark.functions.keys import with_keys
+
+            # okey/tkey are derived at scan time (whole-stage-codegen
+            # concat over the stored components)
+            self._layout_cache[name] = with_keys(
+                self._spark.read.parquet(os.path.join(self._path, name))
             )
         return self._layout_cache[name]
 
