@@ -182,3 +182,28 @@ def test_real_world_sample():
     assert len(rows) == 44  # sample.nt holds 44 triples
     reencoded = "".join(encode_triple_py(r) for r in rows)
     assert cleanup_nt(reencoded) == cleanup_nt(text)
+
+
+def test_permissive_mode_skips_corrupt_lines(spark, tmp_path):
+    from triplestore_spark.sources.ntriples import read_ntriples
+
+    p = tmp_path / "mixed.nt"
+    p.write_text(
+        "<s1> <p> <o> .\n"
+        "this line is garbage\n"
+        '<s2> <p> "v" .\n'
+        "<s3> <p> 123 .\n"  # bare-number object: rejected grammar
+    )
+    out = read_ntriples(spark, str(p), mode="PERMISSIVE")
+    subs = sorted(r["subject"] for r in out.select("subject").collect())
+    assert subs == ["s1", "s2"]
+
+
+def test_failfast_error_names_the_line(spark, tmp_path):
+    from triplestore_spark.sources.ntriples import read_ntriples
+
+    p = tmp_path / "bad.nt"
+    p.write_text("<s1> <p> <o> .\n<s3> <p> 123broken .\n")
+    with pytest.raises(Exception) as exc:
+        read_ntriples(spark, str(p)).collect()
+    assert "123broken" in str(exc.value)

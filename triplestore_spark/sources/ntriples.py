@@ -328,16 +328,27 @@ def parse_nt_text(text: str) -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
-def decode_lines_df(lines: DataFrame, col: str = "value") -> DataFrame:
+def decode_lines_df(
+    lines: DataFrame, col: str = "value", mode: str = "FAILFAST"
+) -> DataFrame:
     """Decode a DataFrame of NT lines into keyed triples.
 
     Blank/comment lines are dropped JVM-side before the Python batch
     boundary so Arrow only ships real work.
+
+    mode='FAILFAST' (default, the reference's behavior —
+    ntparser.go:32-35 aborts on the first bad line) raises with the
+    offending line; mode='PERMISSIVE' skips unparseable lines (at
+    10^12-document scale one corrupt line must not kill the job;
+    count dropped lines by diffing input/output counts).
     """
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"unknown mode {mode!r}")
     trimmed = F.ltrim(F.col(col))
     lines = lines.where(
         (F.length(trimmed) > 0) & (F.substring(trimmed, 1, 1) != "#")
     ).select(F.col(col).alias("value"))
+    permissive = mode == "PERMISSIVE"
 
     def _parse_batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -350,7 +361,14 @@ def decode_lines_df(lines: DataFrame, col: str = "value") -> DataFrame:
         for pdf in it:
             rows = []
             for line in pdf["value"]:
-                row = parse(line)
+                try:
+                    row = parse(line)
+                except NTParseError as e:
+                    if permissive:
+                        continue
+                    raise NTParseError(
+                        f"{e} in line {line[:200]!r}"
+                    ) from None
                 if row is not None:
                     rows.append(row)
             yield pd.DataFrame(rows, columns=S.TRIPLE_FIELDS)
@@ -358,11 +376,13 @@ def decode_lines_df(lines: DataFrame, col: str = "value") -> DataFrame:
     return with_keys(lines.mapInPandas(_parse_batches, schema=S.TRIPLE_SCHEMA))
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def read_ntriples(
+    spark: SparkSession, path: str, mode: str = "FAILFAST"
+) -> DataFrame:
     """Dataset decode: one Spark task per file split — the distributed
     analog of the reference's goroutine-per-reader DatasetDecoder
     (reference decode.go:241-295)."""
-    return decode_lines_df(spark.read.text(path))
+    return decode_lines_df(spark.read.text(path), mode=mode)
 
 
 # ---------------------------------------------------------------------------
