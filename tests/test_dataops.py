@@ -72,6 +72,58 @@ def test_minhash_lsh_finds_planted_pairs(docs_with_dupes):
     assert (1, 100001) in got
 
 
+def test_jaccard_for_pairs_matches_self_join(docs_with_dupes):
+    """The candidate-restricted verify path must agree exactly with
+    the full shingle self-join on the pairs it is given (it replaces
+    the self-join inside minhash_lsh_pairs — the self-join was the
+    scale-killer: a hot shingle makes it quadratic on one key)."""
+    from triplestore_spark.operators.dedup import (
+        jaccard_for_pairs,
+        ngram_jaccard_pairs,
+        shingles_df,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_with_dupes, n=3, threshold=0.0).collect()
+    }
+    cand = docs_with_dupes.sparkSession.createDataFrame(
+        [(a, b) for a, b in full], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(cand, shingles_df(docs_with_dupes, 3)).collect()
+    }
+    assert got == full
+
+
+def test_minhash_verify_equals_exact_on_candidates(docs_with_dupes):
+    """minhash_lsh_pairs(verify) == LSH candidates ∩ exact Jaccard
+    pairs — the verify-path rewrite must not change results."""
+    from triplestore_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs_with_dupes, n=3, num_hashes=32, bands=8, verify_threshold=None
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_with_dupes, n=3, threshold=0.5).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs_with_dupes, n=3, num_hashes=32, bands=8, verify_threshold=0.5
+        ).collect()
+    }
+    assert got == {p: j for p, j in exact.items() if p in cand}
+
+
 def test_minhash_deterministic(docs_with_dupes):
     from triplestore_spark.operators.dedup import minhash_signatures
 
@@ -179,6 +231,51 @@ def test_embedding_near_dup_pairs(spark, emb):
         for r in embedding_near_dup_pairs(both, threshold=0.99, dim=dim).collect()
     }
     assert pairs.get((0, 999999)) == 1.0
+
+
+def test_embedding_near_dup_recall_at_090(spark, emb):
+    """Recall >= 0.9 on pairs planted in the 0.90-0.95 cosine window
+    (round 1's single 8-plane bucket missed ~70% of these; the banded
+    OR-construction is the fix). Exact truth computed driver-side."""
+    import numpy as np
+
+    from triplestore_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        with_planted_near_dups,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    aug = with_planted_near_dups(emb, dim=dim, every=10)
+
+    rows = aug.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype="float64")
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = V @ V.T
+    iu = np.triu_indices(len(ids), k=1)
+
+    def pairs_at(thr):
+        mask = sims[iu] >= thr
+        return {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in zip(ids[iu[0]][mask], ids[iu[1]][mask])
+        }
+
+    # margins absorb numpy-vs-Catalyst rounding at the exact boundary
+    truth_tight = pairs_at(0.905)
+    truth_loose = pairs_at(0.895)
+    assert truth_tight, "no planted pairs landed >= 0.905 — fixture drifted"
+    in_window = pairs_at(0.905) - pairs_at(0.96)
+    assert in_window, "planted pairs all above 0.96 — window not exercised"
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(aug, threshold=0.9, dim=dim).collect()
+    }
+    # every returned pair must be a true pair (exact cosine verify)
+    assert got <= truth_loose
+    recall = len(got & truth_tight) / len(truth_tight)
+    assert recall >= 0.9, f"recall {recall:.2f} < 0.9"
 
 
 # ---- text stats ----

@@ -95,6 +95,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for an EXPLICIT pair set (doc_a, doc_b).
+
+    Unlike the full shingle self-join in ngram_jaccard_pairs, every
+    join here carries a doc id in its key: cand⨝shingles(doc_a)
+    fans out by one doc's shingle count, and the probe side is keyed
+    by (doc_b, shingle) — a hot shingle shared by millions of docs
+    can never become a quadratic join key. This is the verify path
+    LSH needs at corpus scale.
+
+    Pairs with an empty shingle intersection are dropped (their
+    Jaccard is 0; callers filter on threshold > 0 anyway)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
@@ -147,8 +185,10 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(docs, n, verify_threshold)
-    return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
+    # exact Jaccard for the CANDIDATE pairs only — never the full
+    # shingle self-join the LSH exists to avoid
+    verified = jaccard_for_pairs(cand, shingles_df(docs, n))
+    return verified.where(F.col("jaccard") >= verify_threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, n: int = 1) -> DataFrame:

@@ -640,14 +640,17 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         None,  # approximate candidate set -> rows-only
     )
-    q["emb_near_dup"] = (
-        lambda spark, sf: SIM.embedding_near_dup_pairs(
-            _read(spark, sf, "embeddings"),
-            threshold=0.9,
-            dim=_emb_dim(spark, sf),
-        ),
-        None,
-    )
+    # The synthetic embeddings have NO natural pairs at cosine>=0.9
+    # (max pairwise cosine ~0.5-0.6 at every sf), so the gate plants
+    # deterministic near-dups (same double arithmetic on both sides)
+    # and the oracle is the EXACT all-pairs cosine — banded-LSH recall
+    # 1.0 on this data is part of what the hash match asserts.
+    def _emb_near_dup(spark, sf):
+        dim = _emb_dim(spark, sf)
+        aug = SIM.with_planted_near_dups(_read(spark, sf, "embeddings"), dim=dim)
+        return SIM.embedding_near_dup_pairs(aug, threshold=0.9, dim=dim)
+
+    q["emb_near_dup"] = (_emb_near_dup, SIM.planted_near_dup_sql(dim=64))
 
     q["nt_encode"] = (
         # S8: NT encoding as data (context-free form)
@@ -688,7 +691,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             )
         )
         .agg(F.sum("v").alias("total_chars"), F.count(F.lit(1)).alias("n")),
-        "SELECT sum(n_chars) AS total_chars, count(*) AS n FROM documents",
+        # CAST: DuckDB sum(BIGINT) widens to HUGEINT; Spark returns
+        # BIGINT — the driver's value hash is type-sensitive
+        "SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+        " count(*) AS n FROM documents",
     )
 
     q["nt_roundtrip"] = (
