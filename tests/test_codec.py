@@ -199,11 +199,41 @@ def test_permissive_mode_skips_corrupt_lines(spark, tmp_path):
     assert subs == ["s1", "s2"]
 
 
-def test_failfast_error_names_the_line(spark, tmp_path):
+def test_failfast_error_names_the_line_and_file(spark, tmp_path):
+    """Reference DatasetDecoder wraps errors with the source file
+    (decode.go:258-279) — at 10^6 files the name IS the triage."""
     from triplestore_spark.sources.ntriples import read_ntriples
 
-    p = tmp_path / "bad.nt"
+    p = tmp_path / "bad_input_file.nt"
     p.write_text("<s1> <p> <o> .\n<s3> <p> 123broken .\n")
     with pytest.raises(Exception) as exc:
         read_ntriples(spark, str(p)).collect()
     assert "123broken" in str(exc.value)
+    assert "bad_input_file.nt" in str(exc.value)
+
+
+def test_quarantine_keeps_rejects_with_provenance(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from triplestore_spark.sources.ntriples import decode_lines_quarantine
+
+    p = tmp_path / "mixed_q.nt"
+    p.write_text(
+        "<s1> <p> <o> .\n"
+        "this line is garbage\n"
+        '<s2> <p> "v" .\n'
+        "<s3> <p> 123 .\n"
+    )
+    text = spark.read.text(str(p)).select(
+        "value", F.input_file_name().alias("_src")
+    )
+    good, bad = decode_lines_quarantine(text, file_col="_src")
+    subs = sorted(r["subject"] for r in good.select("subject").collect())
+    assert subs == ["s1", "s2"]
+    rejects = bad.collect()
+    assert len(rejects) == 2
+    lines = {r["line"] for r in rejects}
+    assert "this line is garbage" in lines
+    assert "<s3> <p> 123 ." in lines
+    for r in rejects:
+        assert "mixed_q.nt" in r["source_file"]
+        assert r["error"]

@@ -31,24 +31,36 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# bucket key per layout: the highest-cardinality column among the
+# layout's leading sort keys. POS leads with `predicate` (cardinality
+# ~dozens — a terrible bucket key), so it buckets on object_value,
+# its second-position sort component: point lookups WithPredObj still
+# prune on both, and hot predicates spread across buckets instead of
+# hot-spotting one (the salting concern from the skew handling).
+BUCKET_KEYS = {"spo": "subject", "pos": "object_value", "osp": "object_value"}
+
+
 def create_layout_tables_sql(
     catalog: str = "kg", db: str = "graph", partitions: int = 1024
 ) -> list[str]:
-    """DDL for the three sorted layouts. Each table is bucketed on its
-    leading key (shuffle-free point lookups + clustered files) and
-    sorted by the full layout key (min/max skipping within files)."""
+    """DDL for the three sorted layouts — STORED COLUMNS ARE THE 7
+    COMPONENT COLUMNS ONLY, matching operators/materialize.py (okey/
+    tkey are derived at scan time by with_keys; storing them tripled
+    ~150 B/row of pure redundancy). Each table is bucketed on its
+    BUCKET_KEYS column and sorted by the full LAYOUTS sort spec so
+    Iceberg file/row-group min-max stats prune point lookups."""
+    from triplestore_spark import schema as S
+
+    cols = ", ".join(
+        f"{name} {'boolean' if name == 'subject_is_bnode' else 'string'}"
+        for name in S.TRIPLE_FIELDS
+    )
     out = []
-    lead = {"spo": "subject", "pos": "predicate", "osp": "okey"}
     for layout, keys in LAYOUTS.items():
-        cols = """
-          subject string, subject_is_bnode boolean, predicate string,
-          object_kind string, object_value string, object_type string,
-          object_lang string, okey string, tkey string
-        """
         out.append(
             f"CREATE TABLE IF NOT EXISTS {catalog}.{db}.triples_{layout} "
             f"({cols}) USING iceberg "
-            f"PARTITIONED BY (bucket({partitions}, {lead[layout]})) "
+            f"PARTITIONED BY (bucket({partitions}, {BUCKET_KEYS[layout]})) "
             f"TBLPROPERTIES ('write.distribution-mode'='hash', "
             f"'sort-order'='{', '.join(keys)}')"
         )
@@ -67,11 +79,14 @@ def write_layouts_iceberg(
             "backend (operators/materialize.py) or launch with "
             "--packages iceberg-spark-runtime (see module docstring)"
         )
+    from triplestore_spark import schema as S
+
     for ddl in create_layout_tables_sql(catalog, db):
         spark.sql(ddl)
+    bare = df.select(*S.TRIPLE_FIELDS)  # component columns only
     for layout, keys in LAYOUTS.items():
         (
-            df.sortWithinPartitions(*keys)
+            bare.sortWithinPartitions(*keys)
             .writeTo(f"{catalog}.{db}.triples_{layout}")
             .overwritePartitions()
         )

@@ -697,6 +697,42 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         " count(*) AS n FROM documents",
     )
 
+    q["bin_roundtrip"] = (
+        # S4+S10 through the gate: triples -> binary wire format
+        # (reference encode.go:100-142) -> cursor decode (decode.go:
+        # 150-225) -> canonical fields must survive unchanged
+        lambda spark, sf: _bin_roundtrip(spark, sf),
+        TPCH_TRIPLES_SQL + f"SELECT DISTINCT {_TRIPLE_COLS} FROM keyed",
+    )
+
+    q["codec_auto_detect"] = (
+        # S6: format auto-detection (reference decode.go:29-47, first
+        # byte '<' => NT) over a mixed directory of one NT file and
+        # one binary file holding the same triple set -> each triple
+        # appears exactly twice
+        lambda spark, sf: _auto_detect_roundtrip(spark, sf),
+        TPCH_TRIPLES_SQL
+        + """
+        SELECT tkey, count(*) AS n_sources
+        FROM (
+          SELECT DISTINCT tkey FROM keyed
+          UNION ALL
+          SELECT DISTINCT tkey FROM keyed
+        ) GROUP BY tkey
+        """,
+    )
+
+    q["nt_encode_context"] = (
+        # S9: context-driven encode (prefix expansion + QueryEscape +
+        # base prepend) through the distributed mapInPandas path; the
+        # expected lines are the reference's own golden output
+        # (reference codec_test.go:282-316, encode.go:230-246)
+        lambda spark, sf: _context_encode(spark),
+        "SELECT * FROM (VALUES "
+        + ", ".join("(" + _sql_str(line) + ")" for line in _CONTEXT_GOLDEN)
+        + ") AS t(line)",
+    )
+
     q["nt_roundtrip"] = (
         # S1+S8 through the gate: encode the melt to NT lines, decode
         # them back (text -> mapInPandas parser), compare canonical keys
@@ -766,6 +802,87 @@ def _fuzzy_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_mentions_fuzzy(
         extract_mention_surfaces(corpus), gazetteer_df(spark), min_score=0.99
     ).select("subject", F.col("object_value").alias("entity"))
+
+
+def _bin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.sources.binary import (
+        decode_binary_blobs_df,
+        encode_binary_df,
+    )
+
+    g = dedup_triples(tpch_graph_triples(spark, sf_dir))
+    return decode_binary_blobs_df(encode_binary_df(g)).select(
+        *[c.strip() for c in _TRIPLE_COLS.split(",")]
+    )
+
+
+def _auto_detect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the same graph as one .nt file and one binary file, read
+    the mixed directory back through the auto-dispatch decoder."""
+    import tempfile
+
+    from triplestore_spark.sources.binary import (
+        encode_binary_triples,
+        read_auto,
+    )
+    from triplestore_spark.sources.ntriples import encode_triples
+
+    g = dedup_triples(tpch_graph_triples(spark, sf_dir))
+    d = tempfile.mkdtemp(prefix="autodetect_gate_")
+    with open(os.path.join(d, "doc.nt"), "w") as f:
+        f.write(encode_triples(g))
+    with open(os.path.join(d, "doc.bin"), "wb") as f:
+        f.write(encode_binary_triples(g))
+    return (
+        read_auto(spark, d)
+        .groupBy("tkey")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+    )
+
+
+# reference codec_test.go:282-316 "with namespaces": input triples and
+# the byte-exact golden produced by the Go encoder
+_CONTEXT_CTX = {
+    "base": "http://test.url#",
+    "prefixes": {
+        "xsd": "<http://www.w3.org/2001/XMLSchema#",
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "cloud": "http://awless.io/rdf/cloud#",
+    },
+}
+_CONTEXT_ROWS = [
+    ("one", False, "rdf:type", "res", "onetype", "", ""),
+    ("one", False, "prop1", "lit", "two", "xsd:string", ""),
+    ("http://my-url-to.test/#one", False, "prop2", "lit",
+     "284765293570", "xsd:integer", ""),
+    ("one", False, "prop3", "lit", "true", "xsd:boolean", ""),
+    ("one", False, "cloud:launched", "lit",
+     "2009-02-01T02:53:09Z", "xsd:dateTime", ""),
+    ('co<mplex', False, '"with>', "lit", 'with"special<chars.',
+     "xsd:string", ""),
+    ("one", False, "with spaces", "res",
+     "10 inbound-smtp.eu-west-1.amazonaws.com.", "", ""),
+]
+_CONTEXT_GOLDEN = [
+    '<http://test.url#one> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://test.url#onetype> .',
+    '<http://test.url#one> <http://test.url#prop1> "two" .',
+    '<http://my-url-to.test/#one> <http://test.url#prop2> "284765293570"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '<http://test.url#one> <http://test.url#prop3> "true"^^<http://www.w3.org/2001/XMLSchema#boolean> .',
+    '<http://test.url#one> <http://awless.io/rdf/cloud#launched> "2009-02-01T02:53:09Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> .',
+    '<http://test.url#co%3Cmplex> <http://test.url#%22with%3E> "with"special<chars." .',
+    '<http://test.url#one> <http://test.url#with+spaces> <http://test.url#10+inbound-smtp.eu-west-1.amazonaws.com.> .',
+]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _context_encode(spark: SparkSession) -> DataFrame:
+    from triplestore_spark.sources.ntriples import encode_df
+
+    df = spark.createDataFrame(_CONTEXT_ROWS, S.TRIPLE_SCHEMA)
+    return encode_df(df, ctx=_CONTEXT_CTX).select(F.col("value").alias("line"))
 
 
 def _nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

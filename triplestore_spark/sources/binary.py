@@ -127,18 +127,26 @@ def decode_binary_bytes(blob: bytes) -> list[tuple]:
 
 def read_binary(spark: SparkSession, path: str) -> DataFrame:
     """binaryFile scan -> per-file cursor decode in Arrow batches."""
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path)
+    return decode_binary_blobs_df(files, col="content")
+
+
+def decode_binary_blobs_df(df: DataFrame, col: str = "bin") -> DataFrame:
+    """Decode a BinaryType column of binary-codec documents (one or
+    many triples per blob) into keyed triples — the DataFrame-to-
+    DataFrame round-trip counterpart of read_binary (reference
+    decode.go:150-225), used by the bin_roundtrip gate."""
 
     def _decode(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
             rows = []
-            for blob in pdf["content"]:
+            for blob in pdf[col]:
                 rows.extend(decode_binary_bytes(bytes(blob)))
             yield pd.DataFrame(rows, columns=S.TRIPLE_FIELDS)
 
-    return with_keys(files.mapInPandas(_decode, schema=S.TRIPLE_SCHEMA))
+    return with_keys(df.select(col).mapInPandas(_decode, schema=S.TRIPLE_SCHEMA))
 
 
 def encode_binary_df(df: DataFrame) -> DataFrame:

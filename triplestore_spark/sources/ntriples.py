@@ -329,7 +329,10 @@ def parse_nt_text(text: str) -> list[tuple]:
 
 
 def decode_lines_df(
-    lines: DataFrame, col: str = "value", mode: str = "FAILFAST"
+    lines: DataFrame,
+    col: str = "value",
+    mode: str = "FAILFAST",
+    file_col: Optional[str] = None,
 ) -> DataFrame:
     """Decode a DataFrame of NT lines into keyed triples.
 
@@ -338,17 +341,24 @@ def decode_lines_df(
 
     mode='FAILFAST' (default, the reference's behavior —
     ntparser.go:32-35 aborts on the first bad line) raises with the
-    offending line; mode='PERMISSIVE' skips unparseable lines (at
-    10^12-document scale one corrupt line must not kill the job;
-    count dropped lines by diffing input/output counts).
+    offending line AND, when `file_col` names a source-file column,
+    the file it came from — the reference's DatasetDecoder wraps
+    errors the same way (decode.go:258-279); at 10^6 files the name
+    is the triage. mode='PERMISSIVE' skips unparseable lines (one
+    corrupt line must not kill a 10^12-document job); use
+    decode_lines_quarantine to keep the dropped lines.
     """
     if mode not in ("FAILFAST", "PERMISSIVE"):
         raise ValueError(f"unknown mode {mode!r}")
     trimmed = F.ltrim(F.col(col))
+    cols = [F.col(col).alias("value")]
+    if file_col is not None:
+        cols.append(F.col(file_col).alias("_src"))
     lines = lines.where(
         (F.length(trimmed) > 0) & (F.substring(trimmed, 1, 1) != "#")
-    ).select(F.col(col).alias("value"))
+    ).select(*cols)
     permissive = mode == "PERMISSIVE"
+    has_file = file_col is not None
 
     def _parse_batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -360,14 +370,16 @@ def decode_lines_df(
         parse = parse_nt_line_fast
         for pdf in it:
             rows = []
-            for line in pdf["value"]:
+            srcs = pdf["_src"] if has_file else None
+            for i, line in enumerate(pdf["value"]):
                 try:
                     row = parse(line)
                 except NTParseError as e:
                     if permissive:
                         continue
+                    where = f" in file {srcs.iloc[i]!r}" if has_file else ""
                     raise NTParseError(
-                        f"{e} in line {line[:200]!r}"
+                        f"{e} in line {line[:200]!r}{where}"
                     ) from None
                 if row is not None:
                     rows.append(row)
@@ -376,13 +388,76 @@ def decode_lines_df(
     return with_keys(lines.mapInPandas(_parse_batches, schema=S.TRIPLE_SCHEMA))
 
 
+def decode_lines_quarantine(
+    lines: DataFrame, col: str = "value", file_col: Optional[str] = None
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE decode that KEEPS the rejects: returns
+    (triples_df, quarantine_df) where the quarantine carries
+    (line, source_file, error) for every unparseable line — countable
+    and samplable instead of silently dropped.
+
+    Both outputs share one parse lineage; cache `lines` upstream if
+    both will be consumed (two actions = two scans otherwise)."""
+    from pyspark.sql import types as T
+
+    trimmed = F.ltrim(F.col(col))
+    cols = [F.col(col).alias("value")]
+    src_expr = F.col(file_col) if file_col is not None else F.lit("")
+    cols.append(src_expr.alias("_src"))
+    pruned = lines.where(
+        (F.length(trimmed) > 0) & (F.substring(trimmed, 1, 1) != "#")
+    ).select(*cols)
+
+    full_schema = T.StructType(
+        S.TRIPLE_SCHEMA.fields
+        + [
+            T.StructField("_line", T.StringType()),
+            T.StructField("_source_file", T.StringType()),
+            T.StructField("_error", T.StringType()),
+        ]
+    )
+    blank = ("", False, "", "", "", "", "")
+
+    def _parse_batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        parse = parse_nt_line_fast
+        names = list(S.TRIPLE_FIELDS) + ["_line", "_source_file", "_error"]
+        for pdf in it:
+            rows = []
+            for line, src in zip(pdf["value"], pdf["_src"]):
+                try:
+                    row = parse(line)
+                except NTParseError as e:
+                    rows.append(blank + (line, src, str(e)))
+                    continue
+                if row is not None:
+                    rows.append(row + (None, None, None))
+            yield pd.DataFrame(rows, columns=names)
+
+    parsed = pruned.mapInPandas(_parse_batches, schema=full_schema)
+    good = with_keys(
+        parsed.where(F.col("_error").isNull()).select(*S.TRIPLE_FIELDS)
+    )
+    bad = parsed.where(F.col("_error").isNotNull()).select(
+        F.col("_line").alias("line"),
+        F.col("_source_file").alias("source_file"),
+        F.col("_error").alias("error"),
+    )
+    return good, bad
+
+
 def read_ntriples(
     spark: SparkSession, path: str, mode: str = "FAILFAST"
 ) -> DataFrame:
     """Dataset decode: one Spark task per file split — the distributed
     analog of the reference's goroutine-per-reader DatasetDecoder
-    (reference decode.go:241-295)."""
-    return decode_lines_df(spark.read.text(path), mode=mode)
+    (reference decode.go:241-295). Parse failures name the offending
+    file (decode.go:258-279)."""
+    text = spark.read.text(path).select(
+        "value", F.input_file_name().alias("_src")
+    )
+    return decode_lines_df(text, mode=mode, file_col="_src")
 
 
 # ---------------------------------------------------------------------------

@@ -7,22 +7,51 @@ readers. What Structured Streaming adds is the LIVE counterpart: a
 continuously-growing directory of NT files ingested exactly-once into
 a canonical triple table.
 
-stream_into_source uses foreachBatch + dedup-merge: each micro-batch
-is parsed with the same nt_decode path as batch mode, keyed, and
-merged into the sink parquet with left-anti on tkey (idempotent —
-replayed batches collapse, the streaming analog of Source.Add
-semantics). Checkpointing is Spark's own WAL (exactly-once file
-ingest); cancellation = query.stop() (the ctx.Done() analog).
+Merge strategy (the streaming analog of Source.Add semantics —
+idempotent, replayed batches collapse): the sink is PARTITIONED BY a
+hash bucket of tkey, and each micro-batch anti-joins ONLY the bucket
+partitions its own tkeys hash into. Per-batch read volume is bounded
+by (buckets touched by the batch) x (bucket size), not by total sink
+size — the round-1 design re-read the whole sink every batch, O(table)
+per micro-batch, a scale-killer for continuous ingest. On a real
+cluster with Iceberg/Delta on the classpath, MERGE INTO on tkey
+replaces this module's anti-join (see operators/iceberg.py); the
+bucketed-parquet path keeps the same layout so the switch is
+config-only.
+
+Checkpointing is Spark's own WAL (exactly-once file ingest);
+cancellation = query.stop() (the ctx.Done() analog). Appending one
+fragment per batch fragments the sink over time — compact_sink
+rewrites each bucket to target-size files (run it on a cadence or
+when fragment counts pass a threshold).
 """
 
 from __future__ import annotations
 
-import os
-from typing import Optional
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from triplestore_spark.sources.ntriples import decode_lines_df
+
+DEFAULT_BUCKETS = 64
+_BUCKET = "tkey_bucket"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Storage-agnostic existence check (os.path.exists breaks on
+    HDFS/S3 paths; the Hadoop FileSystem API does not)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return fs.exists(jpath)
+
+
+def bucket_expr(n_buckets: int = DEFAULT_BUCKETS):
+    return F.pmod(F.xxhash64("tkey"), F.lit(n_buckets)).cast("int")
 
 
 def stream_ntriples(spark: SparkSession, path: str) -> DataFrame:
@@ -32,29 +61,53 @@ def stream_ntriples(spark: SparkSession, path: str) -> DataFrame:
     return decode_lines_df(lines)
 
 
+def merge_batch_into_sink(
+    batch_df: DataFrame, data_path: str, n_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Idempotent merge of one (already keyed) triple batch into the
+    bucketed sink. Reads ONLY the bucket partitions the batch's tkeys
+    hash into: the IN-list on the partition column is a partition
+    filter, so the anti-join's scan size is independent of total sink
+    size."""
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates(["tkey"]).withColumn(
+        _BUCKET, bucket_expr(n_buckets)
+    )
+    if fs_exists(spark, data_path):
+        batch = batch.persist()
+        touched = [
+            r[0] for r in batch.select(_BUCKET).distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(data_path)
+            .where(F.col(_BUCKET).isin(touched))
+            .select("tkey")
+        )
+        fresh = batch.join(existing, on="tkey", how="left_anti")
+        fresh.write.mode("append").partitionBy(_BUCKET).parquet(data_path)
+        batch.unpersist()
+    else:
+        batch.write.mode("overwrite").partitionBy(_BUCKET).parquet(data_path)
+
+
 def stream_into_source(
     spark: SparkSession,
     in_dir: str,
     table_dir: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    n_buckets: int = DEFAULT_BUCKETS,
 ):
     """Run (or resume) the ingest query: new NT files -> dedup-merged
-    canonical parquet at table_dir. Returns the StreamingQuery."""
+    canonical bucketed parquet at table_dir. Returns the
+    StreamingQuery."""
+    import os
+
     stream = stream_ntriples(spark, in_dir)
     data_path = os.path.join(table_dir, "triples.parquet")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(["tkey"])
-        spark_ = batch.sparkSession
-        if os.path.exists(data_path):
-            existing = spark_.read.parquet(data_path)
-            fresh = batch.join(
-                existing.select("tkey"), on="tkey", how="left_anti"
-            )
-            fresh.write.mode("append").parquet(data_path)
-        else:
-            batch.write.mode("overwrite").parquet(data_path)
+        merge_batch_into_sink(batch_df, data_path, n_buckets)
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -62,3 +115,38 @@ def stream_into_source(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_sink(spark: SparkSession, table_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(table_dir, "triples.parquet")).drop(
+        _BUCKET
+    )
+
+
+def compact_sink(
+    spark: SparkSession, table_dir: str, files_per_bucket: int = 1
+) -> None:
+    """Rewrite the sink so each bucket partition holds
+    `files_per_bucket` files (appends leave one fragment per batch per
+    bucket forever otherwise). Write-to-sibling + atomic rename via
+    the Hadoop FileSystem API — storage-agnostic, no partial state on
+    failure (the original survives until the final rename)."""
+    import os
+
+    data_path = os.path.join(table_dir, "triples.parquet")
+    tmp_path = data_path + "._compacting"
+    df = spark.read.parquet(data_path)
+    (
+        df.repartition(files_per_bucket * DEFAULT_BUCKETS, F.col(_BUCKET))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .parquet(tmp_path)
+    )
+    fs, old = _hadoop_fs(spark, data_path)
+    _, new = _hadoop_fs(spark, tmp_path)
+    trash = _hadoop_fs(spark, data_path + "._old")[1]
+    fs.rename(old, trash)
+    fs.rename(new, old)
+    fs.delete(trash, True)
