@@ -219,6 +219,28 @@ def test_ivf_topk(spark, emb):
     assert rank1["neighbor_id"] == 888888 and rank1["cosine"] == 1.0
 
 
+def test_ivf_recall_floor(emb):
+    """Hash-spread seeds + Lloyd refinement: recall@5 vs brute force
+    must clear a floor on the random corpus (measured 0.67 at
+    n_probe=3/8 clusters; floor set with margin — random embeddings
+    bound recall by the probed fraction, this guards regressions in
+    the centroid quality, e.g. reverting to id-prefix seeds)."""
+    from triplestore_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    qids = [0, 1, 2, 10, 20, 30]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, qids, k=5, n_clusters=8, n_probe=3, lloyd_iters=2
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.5
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     from triplestore_spark.operators.similarity import embedding_near_dup_pairs
 

@@ -132,6 +132,47 @@ def test_fast_path_equals_state_machine_arbitrary(s):
     assert fast == slow
 
 
+@given(st.lists(triples(), max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_vectorized_batch_equals_state_machine(ts):
+    """The Arrow/RE2 batch path (pyarrow extract_regex + vectorized
+    assembly, the executor hot path) must produce IDENTICAL rows to
+    the state machine on every encoder-emitted line."""
+    from triplestore_spark.sources.ntriples import parse_nt_batch
+
+    lines = [encode_triple_py(t.as_row()).rstrip("\n") for t in ts]
+    slow = [parse_nt_line(ln) for ln in lines]
+    assert parse_nt_batch(lines) == slow
+
+
+@given(st.lists(st.text(max_size=120), max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_vectorized_batch_equals_state_machine_arbitrary(lines):
+    """Arbitrary input: identical accept/reject AND identical rows
+    (the batch path must fall back to the state machine on exactly
+    the lines the conservative RE2 grammar rejects)."""
+    from triplestore_spark.sources.ntriples import parse_nt_batch
+
+    # pyarrow cannot carry lone surrogates; the Spark text source
+    # never produces them either (invalid UTF-8 is replaced upstream)
+    lines = [ln for ln in lines if not any("\ud800" <= c <= "\udfff" for c in ln)]
+    slow, err = [], False
+    try:
+        for ln in lines:
+            b = ln.split("\n")[0]  # batch path is line-oriented
+            row = parse_nt_line(b.lstrip(" \t")) if b.lstrip(" \t") else None
+            if row is not None:
+                slow.append(row)
+    except NTParseError:
+        err = True
+    one_line = [ln.split("\n")[0] for ln in lines]
+    try:
+        fast = ("ok", parse_nt_batch(one_line))
+    except NTParseError:
+        fast = ("err", None)
+    assert fast == (("err", None) if err else ("ok", slow))
+
+
 @given(st.binary(max_size=400))
 @settings(max_examples=500, deadline=None)
 def test_binary_decoder_never_crashes(b):

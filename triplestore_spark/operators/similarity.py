@@ -163,20 +163,81 @@ def lsh_topk(
     )
 
 
+def _ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int,
+    lloyd_iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Deterministic k-means-style centroids: seeds are a hash-spread
+    sample (order by xxhash64(id) — uniform across the id space, not
+    the id prefix round 1 used), refined by `lloyd_iters` distributed
+    Lloyd steps: JVM-side nearest-centroid assign, then a
+    posexplode + groupBy(cluster, dim) mean — only k x dim aggregated
+    doubles ever reach the driver."""
+    import numpy as np
+
+    seed_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = np.array([r[vec_col] for r in seed_rows], dtype="float64")
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    for _ in range(lloyd_iters):
+        assigned = embeddings.withColumn(
+            "cluster", _nearest_centroid_expr(vec_d, centroids.tolist())
+        )
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(vec_d).alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()  # empty clusters keep their centroid
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for c, dims in by_cluster.items():
+            v = np.array([dims[d] for d in sorted(dims)], dtype="float64")
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                new[c] = v / nrm
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid_expr(vec_d: Column, c_list: list[list[float]]) -> Column:
+    scores = F.array(
+        *[
+            cosine_expr(vec_d, F.array(*[F.lit(float(x)) for x in c]))
+            for c in c_list
+        ]
+    )
+    return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
     n_clusters: int = 16,
     n_probe: int = 4,
+    lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (the lowest-id vectors),
-    JVM-side nearest-centroid assignment, then per-cluster exact
-    scoring as a grouped applyInPandas (one numpy matmul per cluster
-    batch — the standard vectorized ANN shape). Queries probe their
-    n_probe nearest centroids.
+    """IVF-style ANN: deterministic hash-sampled + Lloyd-refined
+    centroids, JVM-side nearest-centroid assignment, then per-cluster
+    exact scoring as a grouped applyInPandas (one numpy matmul per
+    cluster batch — the standard vectorized ANN shape). Queries probe
+    their n_probe nearest centroids.
 
     At cluster scale the assignment is a narrow map and scoring
     shuffles by cluster id — candidates never leave their cluster
@@ -185,24 +246,14 @@ def ivf_topk(
     import numpy as np
 
     spark = embeddings.sparkSession
-    cent_rows = (
-        embeddings.orderBy(id_col).limit(n_clusters).collect()
+    centroids = _ivf_centroids(
+        embeddings, n_clusters, lloyd_iters, id_col, vec_col
     )
-    centroids = np.array([r[vec_col] for r in cent_rows], dtype="float64")
-    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
     c_list = centroids.tolist()
 
     vec_d = F.col(vec_col).cast("array<double>")
-
-    def centroid_score(i):
-        return cosine_expr(
-            vec_d, F.array(*[F.lit(float(x)) for x in c_list[i]])
-        )
-
-    scores = F.array(*[centroid_score(i) for i in range(len(c_list))])
     assigned = embeddings.withColumn(
-        "cluster",
-        F.array_position(scores, F.array_max(scores)).cast("int") - 1,
+        "cluster", _nearest_centroid_expr(vec_d, c_list)
     )
 
     # queries probe their n_probe nearest centroids

@@ -583,6 +583,47 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         None,
     )
+    # At verify_threshold=0.5 the LSH+verify output EQUALS the exact
+    # Jaccard pair set (every natural pair >= 0.5 in this corpus is in
+    # fact >= 0.8, where 32-hash/8-band recall is ~1 — verified
+    # deterministic at sf0.01 AND sf0.1), so this variant gets a full
+    # value-hash oracle: the end-to-end minhash pipeline must
+    # reproduce exact dedup, not just plausible candidates.
+    q["dedup_minhash_verified"] = (
+        lambda spark, sf: DD.minhash_lsh_pairs(
+            _read(spark, sf, "documents"), n=3, num_hashes=32, bands=8,
+            verify_threshold=0.5,
+        ),
+        """
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(sub, ' ') AS shingle
+          FROM (
+            SELECT doc_id,
+                   (string_split(text,' '))[i:i+2] AS sub
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, len(string_split(text,' ')) - 1))
+                          AS i) t
+            WHERE len(string_split(text,' ')) >= 3
+            UNION ALL
+            SELECT doc_id, string_split(text,' ')
+            FROM documents WHERE len(string_split(text,' ')) < 3
+          )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
+        """,
+    )
     q["dedup_simhash"] = (
         lambda spark, sf: DD.simhash_fingerprints(
             _read(spark, sf, "documents")
@@ -674,10 +715,14 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     )
 
     q["kg_mentions_fuzzy"] = (
-        # X4 link-score pandas UDF path: fuzzy ER over the same corpus
-        # (rows-only: bigram-Dice blocking has no clean SQL oracle)
+        # X4 link-score pandas UDF path: fuzzy ER over the same corpus.
+        # At min_score=0.99 bigram-Dice accepts exact surface matches
+        # only, so the result must EQUAL the exact gazetteer join —
+        # the mentions SQL is a true oracle for it (verified
+        # deterministic at sf0.01).
         lambda spark, sf: _fuzzy_mentions(spark, sf),
-        None,
+        PIPELINE_TRIPLES_SQL
+        + "SELECT subject, object_value AS entity FROM mentions",
     )
 
     q["typed_nchars_sum"] = (
