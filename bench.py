@@ -64,6 +64,16 @@ def main():
     from triplestore_spark.pipeline.run import candidate_triples as _ct
 
     _dd(_ct(spark, docs_warm)).count()
+    # warm the codec paths too: the decode UDF imports pyarrow.compute
+    # inside each Python worker on first use — pay that once here, not
+    # inside the timed q6/q7 sections
+    from triplestore_spark.sources.ntriples import (
+        decode_lines_df as _dec,
+        nt_encode_expr as _enc,
+    )
+
+    _warm_lines = _dd(_ct(spark, docs_warm)).select(_enc().alias("value"))
+    _dec(_warm_lines).count()
 
     # q1: end-to-end extract -> canonicalize -> dedup (count action)
     canon = run_pipeline(spark, sf_dir)

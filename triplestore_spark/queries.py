@@ -693,6 +693,23 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
 
     q["emb_near_dup"] = (_emb_near_dup, SIM.planted_near_dup_sql(dim=64))
 
+    q["media_features"] = (
+        # Multimodal plumbing through the gate: media spans -> media
+        # table -> Arrow-batched feature decode (fake decoder — no
+        # media libs in this container). The oracle checks the
+        # SQL-expressible fields (media_ref, n_bytes = payload length,
+        # payload being the utf-8 of the ref); the blake2b-derived
+        # dims/features are pinned by determinism tests in
+        # tests/test_dataops.py.
+        lambda spark, sf: _media_features(spark, sf),
+        PIPELINE_TRIPLES_SQL
+        + """
+        SELECT object_value AS media_ref,
+               CAST(len(object_value) AS BIGINT) AS n_bytes
+        FROM media
+        """,
+    )
+
     q["nt_encode"] = (
         # S8: NT encoding as data (context-free form)
         lambda spark, sf: graph(spark, sf).select(
@@ -776,6 +793,38 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "SELECT * FROM (VALUES "
         + ", ".join("(" + _sql_str(line) + ")" for line in _CONTEXT_GOLDEN)
         + ") AS t(line)",
+    )
+
+    q["dot_encode"] = (
+        # S12: DOT sink over the TPCH melt (reference encode.go:
+        # 248-305) — one join for labels, driver-side formatting (DOT
+        # is a small driver artifact by nature). The driver's value
+        # hash is order-insensitive, so the line MULTISET is the
+        # contract: header + one edge per nation + one typed label
+        # per participating node + footer.
+        lambda spark, sf: _dot_lines(spark, sf),
+        """
+        SELECT 'digraph "kg:inRegion" {' AS line
+        UNION ALL
+        SELECT '"nation:' || n_nationkey || '" -> "region:'
+               || n_regionkey || '";' FROM nation
+        UNION ALL
+        SELECT '"nation:' || n_nationkey || '" [label="nation:'
+               || n_nationkey || '<kg:Nation>"];' FROM nation
+        UNION ALL
+        SELECT DISTINCT '"region:' || n_regionkey || '" [label="region:'
+               || n_regionkey || '<kg:Region>"];' FROM nation
+        UNION ALL
+        SELECT '}'
+        """,
+    )
+
+    q["cli_convert"] = (
+        # S13: the CLI converter end-to-end (reference cmd/triplestore/
+        # main.go:23-110): NT file -> `-in ntriples -out bin` -> binary
+        # file -> decode -> the canonical keys must survive the trip
+        lambda spark, sf: _cli_convert(spark, sf),
+        TPCH_TRIPLES_SQL + "SELECT DISTINCT tkey FROM keyed",
     )
 
     q["nt_roundtrip"] = (
@@ -928,6 +977,46 @@ def _context_encode(spark: SparkSession) -> DataFrame:
 
     df = spark.createDataFrame(_CONTEXT_ROWS, S.TRIPLE_SCHEMA)
     return encode_df(df, ctx=_CONTEXT_CTX).select(F.col("value").alias("line"))
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators.multimodal import (
+        decode_image_features,
+        synth_media_df,
+    )
+    from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+
+    media = synth_media_df(build_corpus(read_documents(spark, sf_dir)))
+    return decode_image_features(media).select("media_ref", "n_bytes")
+
+
+def _dot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators.dot import encode_dot
+    from triplestore_spark.operators.graph import RDFGraph
+
+    g = RDFGraph(dedup_triples(tpch_graph_triples(spark, sf_dir)), cache=False)
+    out = encode_dot(g, "kg:inRegion")
+    return spark.createDataFrame([(ln,) for ln in out.split("\n")], "line string")
+
+
+def _cli_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from triplestore_spark.cli import main as cli_main
+    from triplestore_spark.sources.binary import read_binary
+    from triplestore_spark.sources.ntriples import encode_triples
+
+    g = dedup_triples(tpch_graph_triples(spark, sf_dir))
+    d = tempfile.mkdtemp(prefix="cli_gate_")
+    nt_path = os.path.join(d, "in.nt")
+    with open(nt_path, "w") as f:
+        f.write(encode_triples(g))
+    out_dir = os.path.join(d, "out")
+    cli_main(["-in", "ntriples", "-out", "bin", "-files", nt_path,
+              "-o", out_dir])
+    return read_binary(spark, os.path.join(out_dir, "triples.bin")).select(
+        "tkey"
+    )
 
 
 def _nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

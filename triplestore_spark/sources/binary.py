@@ -126,7 +126,15 @@ def decode_binary_bytes(blob: bytes) -> list[tuple]:
 
 
 def read_binary(spark: SparkSession, path: str) -> DataFrame:
-    """binaryFile scan -> per-file cursor decode in Arrow batches."""
+    """binaryFile scan -> per-file cursor decode in Arrow batches.
+
+    Parallelism cap: the wire format is a self-delimiting byte stream
+    with no sync markers (reference encode.go:100-142), so a file can
+    only be cursor-decoded start-to-end — binaryFile gives one task
+    per file and one 1 TB file would be one task. This matches the
+    reference's one-goroutine-per-reader model (decode.go:241-295);
+    at scale, shard binary datasets into many files (the CLI and the
+    encode sink already write per-partition files)."""
     files = spark.read.format("binaryFile").load(path)
     return decode_binary_blobs_df(files, col="content")
 
