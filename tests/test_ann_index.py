@@ -1,0 +1,76 @@
+"""Persisted IVF index: build/load round-trip, partition-pruned
+probes, score parity with brute force, determinism."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from triplestore_spark.operators.ann_index import IVFIndex
+from triplestore_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    return IVFIndex.build(emb, path, n_clusters=8, lloyd_iters=2)
+
+
+def test_build_layout_and_load(spark, index, emb):
+    assert os.path.exists(os.path.join(index._path, "index.json"))
+    parts = glob.glob(os.path.join(index._path, "vectors", "cluster=*"))
+    assert len(parts) > 1  # clusters materialized as partitions
+    loaded = IVFIndex.load(spark, index._path)
+    assert loaded.meta == index.meta
+    assert loaded.vectors().count() == emb.count()
+
+
+def test_probe_scan_is_partition_pruned(index):
+    """Reading 2 of 8 clusters must carry a partition filter on the
+    cluster column — query cost scales with probed fraction, not
+    corpus size."""
+    pruned = index.vectors([0, 1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    after = plan.split("PartitionFilters")[1][:300]
+    assert "cluster" in after, plan
+
+
+def test_scores_match_brute_force(index, emb):
+    qids = [0, 1, 2]
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, qids, k=1000000).collect()
+    }
+    rows = index.topk_by_ids(qids, k=5, n_probe=3).collect()
+    assert rows
+    for r in rows:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_index_query_matches_inline_ivf(index, emb):
+    """The persisted index must return EXACTLY what the inline
+    ivf_topk returns for the same params (same centroids by
+    determinism, same probing, same scoring)."""
+    qids = [0, 1, 2, 10]
+    inline = sorted(
+        map(tuple, ivf_topk(
+            emb, qids, k=5, n_clusters=8, n_probe=3, lloyd_iters=2
+        ).collect())
+    )
+    via_index = sorted(map(tuple, index.topk_by_ids(qids, k=5, n_probe=3).collect()))
+    assert via_index == inline
+
+
+def test_rebuild_is_deterministic(spark, emb, tmp_path):
+    a = IVFIndex.build(emb, str(tmp_path / "a"), n_clusters=8, lloyd_iters=1)
+    b = IVFIndex.build(emb, str(tmp_path / "b"), n_clusters=8, lloyd_iters=1)
+    assert a.meta["centroids"] == b.meta["centroids"]
+    ca = sorted(map(tuple, a.vectors().select("vec_id", "cluster").collect()))
+    cb = sorted(map(tuple, b.vectors().select("vec_id", "cluster").collect()))
+    assert ca == cb

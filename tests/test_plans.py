@@ -89,6 +89,25 @@ def test_dedup_is_single_hash_aggregate(spark, sf_dir):
     assert "Sort " not in plan
 
 
+def test_minhash_verify_has_no_shingle_self_join(spark, sf_dir):
+    """The verify stage must never contain a (shingle = shingle AND
+    doc_a < doc_b) self-join — that is the full-corpus quadratic join
+    the LSH exists to avoid (a hot shingle makes it O(n^2) on one
+    key). The only inequality join allowed is the bucket join."""
+    import os
+
+    from triplestore_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = optimized_str(
+        minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8,
+                          verify_threshold=0.5)
+    )
+    for line in plan.splitlines():
+        if "Join" in line and "shingle" in line:
+            assert " < " not in line, f"shingle self-join leaked back: {line}"
+
+
 def test_contains_limits_scan(mat_graph):
     """Contains compiles to filter + limit 1 — no full materialization."""
     from triplestore_spark.dsl import subj_pred

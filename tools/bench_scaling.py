@@ -237,8 +237,17 @@ bench.py q6/q7 for the apples-to-apples codec throughput.
 
 Generated by tools/bench_scaling.py on {time.strftime('%Y-%m-%d %H:%M:%S')}.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve the hand-maintained sections (codec throughput, history,
+    # variance notes) that live after the scaling block
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Codec throughput"
+    tail = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    with open(out_path, "w") as f:
+        f.write(md + ("\n" + tail if tail else ""))
 
 
 if __name__ == "__main__":

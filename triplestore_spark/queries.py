@@ -681,6 +681,14 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         None,  # approximate candidate set -> rows-only
     )
+    q["ann_ivf_index_topk"] = (
+        # persisted IVF index (build once / query many): must return
+        # exactly what the inline ivf_topk returns — locked by
+        # tests/test_ann_index.py; probes are partition-pruned scans
+        lambda spark, sf: _ivf_index_topk(spark, sf),
+        None,  # approximate candidate set -> rows-only
+    )
+
     # The synthetic embeddings have NO natural pairs at cosine>=0.9
     # (max pairwise cosine ~0.5-0.6 at every sf), so the gate plants
     # deterministic near-dups (same double arithmetic on both sides)
@@ -977,6 +985,20 @@ def _context_encode(spark: SparkSession) -> DataFrame:
 
     df = spark.createDataFrame(_CONTEXT_ROWS, S.TRIPLE_SCHEMA)
     return encode_df(df, ctx=_CONTEXT_CTX).select(F.col("value").alias("line"))
+
+
+def _ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from triplestore_spark.operators.ann_index import IVFIndex
+
+    idx = IVFIndex.build(
+        _read(spark, sf_dir, "embeddings"),
+        os.path.join(tempfile.mkdtemp(prefix="ivf_gate_"), "idx"),
+        n_clusters=8,
+        lloyd_iters=2,
+    )
+    return idx.topk_by_ids([0, 1, 2], k=5, n_probe=3)
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
