@@ -275,6 +275,40 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         """,
     )
 
+    q["corpus_spans"] = (
+        # The input_hint's per-row invariant AS A GATE ROW: the full
+        # interleaved span sequence (kind, text, media_ref, order)
+        # of every document vs an independent SQL replication of the
+        # published chunking spec (pipeline/spec.py). test_pipeline
+        # additionally checks it against the pure-Python oracle.
+        lambda spark, sf: _corpus_spans(spark, sf),
+        f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words,
+                 CAST(ceil(len(string_split(text, ' '))
+                      / {spec.CHUNK_WORDS}.0) AS BIGINT) AS n_chunks
+          FROM documents WHERE len(text) > 0
+        ),
+        sp AS (
+          SELECT doc_id, j.j AS j, 0 AS m, 'text' AS kind,
+                 array_to_string(
+                   words[j.j*{spec.CHUNK_WORDS}+1 : (j.j+1)*{spec.CHUNK_WORDS}],
+                   ' ') AS text,
+                 '' AS media_ref
+          FROM w, LATERAL (SELECT unnest(range(0, n_chunks)) AS j) j
+          UNION ALL
+          SELECT doc_id, j.j, 1, 'image', '',
+                 'media://' || doc_id || '/' || j.j
+          FROM w, LATERAL (SELECT unnest(range(0, n_chunks)) AS j) j
+          WHERE (doc_id * 31 + j.j) % {spec.MEDIA_EVERY} = 0
+        )
+        SELECT 'doc:' || doc_id AS doc_id, kind, text, media_ref,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j, m)
+                    - 1 AS INT) AS offset
+        FROM sp
+        """,
+    )
+
     # -- graph query surface over the TPC-H melt --
 
     def graph(spark, sf):
@@ -985,6 +1019,15 @@ def _context_encode(spark: SparkSession) -> DataFrame:
 
     df = spark.createDataFrame(_CONTEXT_ROWS, S.TRIPLE_SCHEMA)
     return encode_df(df, ctx=_CONTEXT_CTX).select(F.col("value").alias("line"))
+
+
+def _corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+
+    corpus = build_corpus(read_documents(spark, sf_dir))
+    return corpus.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
 
 
 def _ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
