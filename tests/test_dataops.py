@@ -124,6 +124,41 @@ def test_minhash_verify_equals_exact_on_candidates(docs_with_dupes):
     assert got == {p: j for p, j in exact.items() if p in cand}
 
 
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-node chain (transitive dups) collapses to one cluster with
+    the min id as canonical; disjoint pairs stay separate clusters."""
+    from triplestore_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_list,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    cc = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_list(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]  # canonical per cluster + untouched doc
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path exercises multi-round propagation + the
+    localCheckpoint lineage truncation (real dup clusters are dense
+    and converge in a couple of rounds; a path is the worst case)."""
+    from triplestore_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(pairs, max_iter=20)
+    assert {r["cluster_id"] for r in cc.collect()} == {0}
+
+
 def test_minhash_deterministic(docs_with_dupes):
     from triplestore_spark.operators.dedup import minhash_signatures
 

@@ -191,6 +191,78 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= verify_threshold)
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, checkpoint_every: int = 5
+) -> DataFrame:
+    """(doc_a, doc_b) undirected duplicate edges -> (doc_id,
+    cluster_id) where cluster_id is the minimum doc id reachable —
+    the canonical representative of each near-dup cluster.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(diameter)
+    rounds (dup clusters are dense, so a handful). Every join is an
+    equi-join on node id — no quadratic key anywhere — and lineage is
+    truncated with localCheckpoint every few rounds so the iterative
+    plan does not grow unboundedly (the same discipline as the tree
+    traversal frontier, operators/tree.py)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    edges = edges.localCheckpoint()
+    for i in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The dedup DELIVERABLE: which documents survive. Every doc not
+    in any dup cluster survives; within a cluster only the canonical
+    (minimum) doc id survives."""
+    cc = connected_components(pairs)
+    drop = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop, on="doc_id", how="left_anti")
+
+
 def simhash_fingerprints(docs: DataFrame, n: int = 1) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash — per-bit sign of the sum of
     +-1 votes from each distinct shingle's xxhash64 bit. Pure Catalyst:

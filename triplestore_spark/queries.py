@@ -665,6 +665,86 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         None,
     )
 
+    # shared SQL prefix: exact-Jaccard dup pairs at >= 0.5 (proven
+    # equal to the minhash pipeline's output on this corpus)
+    _DUP_PAIRS_SQL = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(sub, ' ') AS shingle
+      FROM (
+        SELECT doc_id, (string_split(text,' '))[i:i+2] AS sub
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, len(string_split(text,' ')) - 1))
+                      AS i) t
+        WHERE len(string_split(text,' ')) >= 3
+        UNION ALL
+        SELECT doc_id, string_split(text,' ')
+        FROM documents WHERE len(string_split(text,' ')) < 3
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM jpairs
+      UNION SELECT doc_b, doc_a FROM jpairs
+    )
+    """
+
+    def _dup_pairs(spark, sf):
+        return DD.minhash_lsh_pairs(
+            _read(spark, sf, "documents"), n=3, num_hashes=32, bands=8,
+            verify_threshold=0.5,
+        ).select("doc_a", "doc_b")
+
+    q["dedup_clusters"] = (
+        # near-dup CLUSTERING: connected components over the verified
+        # minhash pairs (min-label propagation, equi-joins only);
+        # oracle = recursive-CTE reachability with min-id labels
+        lambda spark, sf: DD.connected_components(_dup_pairs(spark, sf)),
+        _DUP_PAIRS_SQL
+        + """
+        SELECT node AS doc_id, r AS cluster_id FROM (
+          WITH RECURSIVE reach(node, r) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.s, w.r FROM edges e JOIN reach w ON w.node = e.d
+          )
+          SELECT node, min(r) AS r FROM reach GROUP BY node
+        )
+        """,
+    )
+
+    q["dedup_keep_list"] = (
+        # the dedup DELIVERABLE: docs surviving near-dup removal
+        # (cluster-canonical docs + all un-clustered docs)
+        lambda spark, sf: DD.dedup_keep_list(
+            _read(spark, sf, "documents"), _dup_pairs(spark, sf)
+        ).select("doc_id"),
+        _DUP_PAIRS_SQL
+        + """
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          SELECT node FROM (
+            WITH RECURSIVE reach(node, r) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.s, w.r FROM edges e JOIN reach w ON w.node = e.d
+            )
+            SELECT node, min(r) AS r FROM reach GROUP BY node
+          ) WHERE node <> r
+        )
+        """,
+    )
+
     # -- similarity search --
 
     from triplestore_spark.operators import similarity as SIM
