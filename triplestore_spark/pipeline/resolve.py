@@ -37,13 +37,17 @@ def resolve_mentions(
     strategy: str = "broadcast",
     n_salts: int = 16,
 ) -> DataFrame:
-    """(doc_id, surface) x (surface, iri) -> distinct candidate
-    mention triples (doc, kg:mentions, <iri>).
+    """(doc_id, surface) x (surface, iri) -> candidate mention
+    triples (doc, kg:mentions, <iri>).
 
     Inner join: surfaces outside the dictionary are not mentions (the
-    dictionary is the detector). The distinct collapses repeat
-    mentions BEFORE the global triple dedup so the shuffle carries
-    (doc, iri) pairs, not token occurrences.
+    dictionary is the detector). NO distinct here: surfaces are
+    already per-doc-distinct from extraction (array_distinct before
+    the explode), so duplicates only arise from N:1 surface->iri
+    mappings — a handful of rows the global dedup_triples exchange
+    collapses anyway. A distinct at this point would shuffle the
+    entire mention stream a second time for nothing (measured: one
+    full Exchange removed from the flagship plan).
     """
     if strategy == "broadcast":
         joined = mentions.join(F.broadcast(dictionary), on="surface", how="inner")
@@ -65,7 +69,7 @@ def resolve_mentions(
         F.col("iri").alias("object_value"),
         F.lit("").alias("object_type"),
         F.lit("").alias("object_lang"),
-    ).distinct()
+    )
 
 
 def link_score_udf():
