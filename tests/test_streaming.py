@@ -81,6 +81,34 @@ def test_compact_sink_reduces_fragments(spark, tmp_path):
     assert not fs_exists(spark, data_path + "._old")
 
 
+def test_stream_compacts_on_cadence(spark, tmp_path):
+    """With compact_every=1 the second micro-batch (batch_id=1...)
+    triggers compaction: contents unchanged, fragments bounded."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    table_dir = str(tmp_path / "table")
+    cp_dir = str(tmp_path / "cp")
+
+    (in_dir / "a.nt").write_text(
+        encode_triples(_batch(spark, range(10)))
+    )
+    q = stream_into_source(spark, str(in_dir), table_dir, cp_dir,
+                           compact_every=1)
+    q.awaitTermination(120)
+    (in_dir / "b.nt").write_text(
+        encode_triples(_batch(spark, range(5, 15)))
+    )
+    q2 = stream_into_source(spark, str(in_dir), table_dir, cp_dir,
+                            compact_every=1)
+    q2.awaitTermination(120)
+
+    out = read_sink(spark, table_dir)
+    assert out.select("tkey").distinct().count() == 15
+    data_path = os.path.join(table_dir, "triples.parquet")
+    assert not fs_exists(spark, data_path + "._compacting")
+    assert not fs_exists(spark, data_path + "._old")
+
+
 def test_fs_exists_storage_agnostic(spark, tmp_path):
     assert not fs_exists(spark, str(tmp_path / "nope"))
     (tmp_path / "yes").mkdir()

@@ -195,6 +195,26 @@ def _tree_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tree_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators.graph import RDFGraph
+    from triplestore_spark.operators.tree import Tree
+
+    g = RDFGraph(tpch_graph_triples(spark, sf_dir), cache=False)
+    rev = g.with_predicate("kg:inRegion").select(
+        F.col("object_value").alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit("kg:hasNation").alias("predicate"),
+        F.lit("res").alias("object_kind"),
+        F.col("subject").alias("object_value"),
+        F.lit("").alias("object_type"),
+        F.lit("").alias("object_lang"),
+    )
+    tree = Tree(RDFGraph(rev, cache=False), "kg:hasNation")
+    return tree.ancestors_df("nation:7").select(
+        "node", "depth", F.array_join("path", "/").alias("path_str")
+    )
+
+
 def _nt_encode_expr():
     from triplestore_spark.sources.ntriples import nt_encode_expr
 
@@ -469,6 +489,28 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             UNION ALL
             SELECT e.child, w.depth + 1, w.path_str || '/' || e.child
             FROM walk w JOIN edges e ON e.parent = w.node
+          )
+          SELECT node, depth, path_str FROM walk
+        )
+        """,
+    )
+
+    q["tree_ancestors"] = (
+        # J3 parent expansion through the gate: walk upward from a
+        # leaf nation to its region root; recursive-CTE oracle
+        lambda spark, sf: _tree_ancestors(spark, sf),
+        TPCH_TRIPLES_SQL
+        + """
+        , edges AS (
+          SELECT object_value AS parent, subject AS child
+          FROM keyed WHERE predicate = 'kg:inRegion'
+        )
+        SELECT * FROM (
+          WITH RECURSIVE walk(node, depth, path_str) AS (
+            SELECT 'nation:7', 0, 'nation:7'
+            UNION ALL
+            SELECT e.parent, w.depth + 1, w.path_str || '/' || e.parent
+            FROM walk w JOIN edges e ON e.child = w.node
           )
           SELECT node, depth, path_str FROM walk
         )

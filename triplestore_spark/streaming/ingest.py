@@ -97,10 +97,17 @@ def stream_into_source(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     n_buckets: int = DEFAULT_BUCKETS,
+    compact_every: int | None = 50,
 ):
     """Run (or resume) the ingest query: new NT files -> dedup-merged
     canonical bucketed parquet at table_dir. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    Every `compact_every` micro-batches the sink is rewritten to one
+    file per bucket (each append leaves a fragment per touched bucket;
+    unbounded fragment growth would eventually dominate scan listing).
+    Compaction inside foreachBatch is safe: the streaming engine
+    serializes batch functions, so no concurrent writer exists."""
     import os
 
     stream = stream_ntriples(spark, in_dir)
@@ -108,6 +115,8 @@ def stream_into_source(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch_into_sink(batch_df, data_path, n_buckets)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_sink(batch_df.sparkSession, table_dir)
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir
