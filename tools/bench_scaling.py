@@ -98,10 +98,18 @@ def flow(replicate):
     out = tempfile.mkdtemp(prefix="ts_scale_")
     t0 = time.time()
     canon = dedup_triples(candidate_triples(spark, docs)).cache()
-    for layout, keys in LAYOUTS.items():
-        (with_keys(canon.repartitionByRange({nparts}, *[F.col(k) for k in keys])
-              .sortWithinPartitions(*keys))
-              .write.mode("overwrite").parquet(out + "/" + layout))
+    # mirror the production materialize path (operators/materialize.py):
+    # component-only columns, three layout writes submitted concurrently
+    from concurrent.futures import ThreadPoolExecutor
+    from triplestore_spark import schema as S
+    bare = canon.select(*S.TRIPLE_FIELDS)
+    def write_layout(item):
+        layout, keys = item
+        (bare.repartitionByRange({nparts}, *[F.col(k) for k in keys])
+             .sortWithinPartitions(*keys)
+             .write.mode("overwrite").parquet(out + "/" + layout))
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(write_layout, LAYOUTS.items()))
     elapsed = time.time() - t0
     canon.unpersist()
     n = spark.read.parquet(out + "/spo").count()
