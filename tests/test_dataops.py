@@ -355,6 +355,29 @@ def test_textstats_shapes(docs):
     assert fingerprint(docs).select("fp").distinct().count() <= n
 
 
+def test_filter_documents_gates(docs):
+    from triplestore_spark.operators.textstats import (
+        filter_documents,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    kept = filter_documents(docs, min_quality=0.5, langs=("en",), min_tokens=5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 < len(kept_ids) < docs.count()
+
+    # every kept doc individually passes all three gates
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    lang = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    nt = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    for d in kept_ids:
+        assert q[d] >= 0.5 and lang[d] == "en" and nt[d] >= 5
+    # and every excluded doc fails at least one
+    for d in set(q) - kept_ids:
+        assert q[d] < 0.5 or lang[d] != "en" or nt[d] < 5
+
+
 # ---- multimodal ----
 
 

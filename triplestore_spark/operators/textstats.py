@@ -72,6 +72,56 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def filter_documents(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+) -> DataFrame:
+    """The curation FILTER step: documents passing quality, language,
+    and length gates — the standard pre-training funnel stage after
+    stats and before dedup. One narrow pass (all three stats are
+    whole-stage-codegen expressions over the same scan; Catalyst fuses
+    them), no shuffle."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    pred_lang = F.when(
+        n_stop / n_tokens >= LANG_ID_THRESHOLD, F.lit("en")
+    ).otherwise(F.lit("unk"))
+    quality = 0.5 * F.least(F.lit(1.0), F.col("n_chars") / 500.0) + 0.5 * (
+        F.size(F.array_distinct(toks)) / n_tokens
+    )
+    return docs.where(
+        (F.round(quality, 6) >= min_quality)
+        & pred_lang.isin(*langs)
+        & n_tokens.between(min_tokens, max_tokens)
+    )
+
+
+def filter_documents_sql(
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+) -> str:
+    lang_list = ", ".join(f"'{lang}'" for lang in langs)
+    return f"""
+    SELECT * FROM documents
+    WHERE round(0.5 * least(1.0, n_chars / 500.0)
+               + 0.5 * (len(list_distinct(string_split(text, ' ')))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)),
+               6) >= {min_quality}
+      AND (CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('the', 'a')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                     >= {LANG_ID_THRESHOLD}
+                THEN 'en' ELSE 'unk' END) IN ({lang_list})
+      AND len(string_split(text, ' ')) BETWEEN {min_tokens} AND {max_tokens}
+    """
+
+
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

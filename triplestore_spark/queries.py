@@ -605,6 +605,16 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         TS.FINGERPRINT_SQL,
     )
 
+    q["ts_filter"] = (
+        # the curation FILTER step (quality + language + length gates
+        # in one codegen pass); oracle composes the same three
+        # predicates in SQL
+        lambda spark, sf: TS.filter_documents(
+            _read(spark, sf, "documents")
+        ).select("doc_id"),
+        "SELECT doc_id FROM (" + TS.filter_documents_sql() + ")",
+    )
+
     # -- dedup --
 
     from triplestore_spark.operators import dedup as DD
