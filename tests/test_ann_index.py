@@ -74,3 +74,18 @@ def test_rebuild_is_deterministic(spark, emb, tmp_path):
     ca = sorted(map(tuple, a.vectors().select("vec_id", "cluster").collect()))
     cb = sorted(map(tuple, b.vectors().select("vec_id", "cluster").collect()))
     assert ca == cb
+
+
+def test_index_metadata_goes_through_hadoop_fs(spark, emb, tmp_path):
+    """index.json must ride the same FileSystem as the vectors
+    (VERDICT r2 #2): building at an explicit file:-scheme URI (a
+    non-local-path Path object) round-trips build -> load."""
+    path = "file://" + str(tmp_path / "idx_uri")
+    idx = IVFIndex.build(emb, path, n_clusters=4, lloyd_iters=1)
+    # the metadata exists where the FileSystem says, and load() reads
+    # it back through the same API
+    loaded = IVFIndex.load(spark, path)
+    assert loaded.meta == idx.meta
+    assert os.path.exists(str(tmp_path / "idx_uri" / "index.json"))
+    got = loaded.topk_by_ids([0], k=3, n_probe=2)
+    assert got.count() == 3

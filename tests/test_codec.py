@@ -237,3 +237,82 @@ def test_quarantine_keeps_rejects_with_provenance(spark, tmp_path):
     for r in rejects:
         assert "mixed_q.nt" in r["source_file"]
         assert r["error"]
+
+
+def test_binary_split_reader_parallelizes_one_file(spark, tmp_path):
+    """Record-boundary splitting (VERDICT r2 #4): ONE .bin file read at
+    a small split size must decode across >1 task and produce exactly
+    the per-file cursor decode's triples."""
+    from pyspark.sql import functions as F
+
+    from triplestore_spark.sources.binary import (
+        encode_binary_triples,
+        read_binary,
+        read_binary_split,
+    )
+
+    df = triples_to_df(spark, CORPUS)
+    blob = encode_binary_triples(df)
+    out = tmp_path / "bin" / "doc.bin"
+    out.parent.mkdir()
+    out.write_bytes(blob)
+
+    split = read_binary_split(spark, str(out), split_size=256)
+    n_tasks = (
+        split.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_tasks > 1, f"file of {len(blob)} bytes decoded in one task"
+
+    got = sorted(tuple(r) for r in split.collect())
+    want = sorted(tuple(r) for r in read_binary(spark, str(out.parent)).collect())
+    assert got == want
+
+
+def test_binary_split_reader_dir_and_unsplit(spark, tmp_path):
+    """Directory input + a split size larger than the file (degenerate
+    single range) both behave like read_binary."""
+    from triplestore_spark.sources.binary import (
+        encode_binary_triples,
+        read_binary,
+        read_binary_split,
+    )
+
+    df = triples_to_df(spark, CORPUS)
+    d = tmp_path / "bin"
+    d.mkdir()
+    (d / "a.bin").write_bytes(encode_binary_triples(df))
+    (d / "b.bin").write_bytes(encode_binary_triples(df))
+
+    got = sorted(tuple(r) for r in read_binary_split(spark, str(d)).collect())
+    want = sorted(tuple(r) for r in read_binary(spark, str(d)).collect())
+    assert got == want
+
+
+def test_binary_split_resync_lands_on_true_boundaries(tmp_path):
+    """The chained-validation resync must find the exact record start
+    from ANY offset inside the first record (no off-by-N boundary)."""
+    from triplestore_spark.sources.binary import (
+        _FileWindow,
+        _find_boundary,
+        encode_triple_bytes,
+    )
+
+    recs = [
+        encode_triple_bytes((f"subj{i}", False, "pred", "lit",
+                             f"value {i}", "xsd:string", ""))
+        for i in range(6)
+    ]
+    blob = b"".join(recs)
+    p = tmp_path / "r.bin"
+    p.write_bytes(blob)
+    bounds = []
+    off = 0
+    for r in recs:
+        bounds.append(off)
+        off += len(r)
+
+    with open(p, "rb") as f:
+        w = _FileWindow(f, len(blob))
+        for start in range(1, len(recs[0]) + 1):
+            found = _find_boundary(w, start, len(blob), len(blob), 4)
+            assert found == bounds[1], (start, found)

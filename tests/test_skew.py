@@ -95,3 +95,33 @@ def test_pos_layout_splits_hot_predicate(spark, sf_dir, tmp_path):
     )
     assert len(sizes) >= 4
     assert max(sizes) < 0.55 * total  # no single file holds the hot predicate
+
+
+def test_fuzzy_salted_equals_broadcast(spark):
+    """Fuzzy-ER blocking beyond broadcast (VERDICT r2 #6): the salted
+    (blk, salt) join must return exactly the broadcast strategy's
+    links, including under a hot first-character block."""
+    from triplestore_spark.pipeline.resolve import resolve_mentions_fuzzy
+
+    n = 5000
+    mentions = spark.range(n).select(
+        F.concat(F.lit("doc:"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("tabel"))     # typo of 'table'
+        .otherwise(F.lit("valu"))                         # typo of 'value'
+        .alias("surface"),
+    )
+    dictionary = spark.createDataFrame(
+        [("table", "kg:ent/table"), ("tablet", "kg:ent/tablet"),
+         ("value", "kg:ent/value")],
+        ["surface", "iri"],
+    )
+    a = resolve_mentions_fuzzy(
+        mentions, dictionary, min_score=0.3, strategy="broadcast"
+    )
+    b = resolve_mentions_fuzzy(
+        mentions, dictionary, min_score=0.3, strategy="salted", n_salts=8
+    )
+    rows_a = {tuple(r) for r in a.select("subject", "object_value").collect()}
+    rows_b = {tuple(r) for r in b.select("subject", "object_value").collect()}
+    assert rows_a == rows_b
+    assert rows_a  # non-trivial

@@ -146,3 +146,109 @@ def test_stream_ingest_dedup_and_resume(spark, tmp_path):
     out2 = spark.read.parquet(os.path.join(table_dir, "triples.parquet"))
     keys = [r["tkey"] for r in out2.select("tkey").collect()]
     assert sorted(keys) == sorted({t1.tkey(), t2.tkey(), t3.tkey()})
+
+
+def test_recover_sink_restores_bucket_swapped_mid_compaction(spark, tmp_path):
+    """Crash window of the per-bucket swap (ADVICE r2 medium): a bucket
+    renamed to ._old but whose compacted twin never landed must be
+    restored by recover_sink — and merge_batch_into_sink must self-heal
+    before merging instead of stranding prior data."""
+    import shutil
+
+    from triplestore_spark.streaming.ingest import recover_sink
+
+    path = str(tmp_path / "sink.parquet")
+    merge_batch_into_sink(_batch(spark, range(50)), path, n_buckets=8)
+    before = {r["tkey"] for r in spark.read.parquet(path).select("tkey").collect()}
+
+    # simulate the crash: one live bucket moved to ._old, its compacted
+    # replacement not yet renamed in (it sits in a stale ._compacting)
+    buckets = sorted(glob.glob(os.path.join(path, f"{_BUCKET}=*")))
+    victim = buckets[0]
+    old_dir = path + "._old"
+    os.makedirs(old_dir, exist_ok=True)
+    shutil.move(victim, os.path.join(old_dir, os.path.basename(victim)))
+    os.makedirs(path + "._compacting", exist_ok=True)
+
+    assert recover_sink(spark, path)
+    after = {r["tkey"] for r in spark.read.parquet(path).select("tkey").collect()}
+    assert after == before
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._compacting")
+    # idempotent when clean
+    assert not recover_sink(spark, path)
+
+
+def test_merge_recovers_legacy_full_swap_crash(spark, tmp_path):
+    """Legacy whole-directory swap crash: data path missing, everything
+    in ._old. Round 2's merge would treat this as a FRESH sink and
+    silently strand all prior data; now it restores first."""
+    import shutil
+
+    path = str(tmp_path / "sink.parquet")
+    merge_batch_into_sink(_batch(spark, range(20)), path, n_buckets=8)
+    shutil.move(path, path + "._old")
+    assert not os.path.exists(path)
+
+    merge_batch_into_sink(_batch(spark, range(15, 30)), path, n_buckets=8)
+    out = spark.read.parquet(path)
+    assert out.select("tkey").distinct().count() == 30
+    assert out.count() == 30
+    assert not os.path.exists(path + "._old")
+
+
+def test_compact_derives_bucket_count_from_sink(spark, tmp_path):
+    """compact_sink must size its shuffle from the sink's OWN partition
+    directories, not DEFAULT_BUCKETS (ADVICE r2: n_buckets=8 sink was
+    compacted with a 64-bucket target)."""
+    table_dir = str(tmp_path / "t")
+    path = os.path.join(table_dir, "triples.parquet")
+    for lo in (0, 30, 60):
+        merge_batch_into_sink(_batch(spark, range(lo, lo + 40)), path, n_buckets=8)
+    n_files_before = len(glob.glob(os.path.join(path, f"{_BUCKET}=*", "*.parquet")))
+    compact_sink(spark, table_dir)
+    out = spark.read.parquet(path)
+    assert out.select("tkey").distinct().count() == 100
+    assert out.count() == 100
+    buckets = glob.glob(os.path.join(path, f"{_BUCKET}=*"))
+    for b in buckets:
+        assert len(glob.glob(os.path.join(b, "*.parquet"))) == 1, b
+    assert len(glob.glob(os.path.join(path, f"{_BUCKET}=*", "*.parquet"))) < n_files_before
+
+
+def test_merge_scan_is_partition_pruned_metrics(spark, tmp_path):
+    """The bucket-pruned anti-join claim, metrics-asserted (VERDICT r2
+    #8): the `existing` scan of a merge that touches one bucket must
+    read only that bucket's files — numFiles from the executed scan
+    node, not just the plan string."""
+    path = str(tmp_path / "sink.parquet")
+    merge_batch_into_sink(_batch(spark, range(200)), path, n_buckets=16)
+    total_files = len(glob.glob(os.path.join(path, f"{_BUCKET}=*", "*.parquet")))
+
+    # one-triple batch -> exactly one touched bucket
+    batch = _batch(spark, [7]).withColumn(_BUCKET, bucket_expr(16))
+    touched = [r[0] for r in batch.select(_BUCKET).distinct().collect()]
+    assert len(touched) == 1
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col(_BUCKET).isin(touched))
+        .select("tkey")
+    )
+    scan.collect()
+
+    plan = scan._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    num_files = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            num_files = m.apply("numFiles").value()
+            break
+    assert num_files is not None, "no file scan leaf with numFiles metric"
+    bucket_files = len(
+        glob.glob(os.path.join(path, f"{_BUCKET}={touched[0]}", "*.parquet"))
+    )
+    assert num_files == bucket_files
+    assert num_files < total_files

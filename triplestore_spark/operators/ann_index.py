@@ -31,11 +31,36 @@ from pyspark.sql.window import Window
 
 from triplestore_spark.operators.similarity import (
     _ivf_centroids,
-    _nearest_centroid_expr,
+    nearest_centroid_col,
 )
+from triplestore_spark.streaming.ingest import _hadoop_fs
 
 INDEX_FILE = "index.json"
 VECTORS_DIR = "vectors"
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API —
+    the same storage-agnostic route the vectors take. A driver-local
+    open() would put index.json on the driver's disk when `path` is
+    an HDFS/S3 URI while the vectors land remotely (round-2 defect)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 class IVFIndex:
@@ -66,13 +91,13 @@ class IVFIndex:
             F.col(id_col).alias("vec_id"),
             vec_d.alias("embedding"),
         ).withColumn(
-            "cluster", _nearest_centroid_expr(F.col("embedding"), centroids.tolist())
+            "cluster", nearest_centroid_col(F.col("embedding"), centroids.tolist())
         )
         (
             assigned.repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
-            .parquet(os.path.join(path, VECTORS_DIR))
+            .parquet(path.rstrip("/") + "/" + VECTORS_DIR)
         )
         meta = {
             "version": 1,
@@ -81,15 +106,19 @@ class IVFIndex:
             "dim": int(centroids.shape[1]),
             "centroids": [[float(x) for x in c] for c in centroids],
         }
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, INDEX_FILE), "w") as f:
-            json.dump(meta, f)
+        # metadata goes through the same FileSystem as the vectors
+        # (HDFS/S3-safe; a file:-scheme path round-trips in tests)
+        _fs_write_text(
+            spark, path.rstrip("/") + "/" + INDEX_FILE, json.dumps(meta)
+        )
         return IVFIndex(spark, path, meta)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFIndex":
-        with open(os.path.join(path, INDEX_FILE)) as f:
-            return IVFIndex(spark, path, json.load(f))
+        meta = json.loads(
+            _fs_read_text(spark, path.rstrip("/") + "/" + INDEX_FILE)
+        )
+        return IVFIndex(spark, path, meta)
 
     # -- query --------------------------------------------------------
 

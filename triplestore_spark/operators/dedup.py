@@ -191,8 +191,18 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= verify_threshold)
 
 
+class ConvergenceError(RuntimeError):
+    """Label propagation exited at max_iter with labels still moving —
+    the returned clusters would be WRONG (a chain longer than max_iter
+    hops would be split into several 'canonical' docs), so downstream
+    dedup_keep_list would silently under-dedup."""
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25, checkpoint_every: int = 5
+    pairs: DataFrame,
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(doc_a, doc_b) undirected duplicate edges -> (doc_id,
     cluster_id) where cluster_id is the minimum doc id reachable —
@@ -204,7 +214,16 @@ def connected_components(
     equi-join on node id — no quadratic key anywhere — and lineage is
     truncated with localCheckpoint every few rounds so the iterative
     plan does not grow unboundedly (the same discipline as the tree
-    traversal frontier, operators/tree.py)."""
+    traversal frontier, operators/tree.py).
+
+    If the loop exits at max_iter with labels still changing (a
+    component whose diameter exceeds max_iter — plausible for chained
+    near-dup clusters at corpus scale) the result is NOT a valid
+    clustering; `on_nonconverged` controls whether that raises
+    ConvergenceError (default) or warns and returns the partial
+    labels ("warn")."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged={on_nonconverged!r}")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -217,6 +236,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     edges = edges.localCheckpoint()
+    changed = 0
     for i in range(max_iter):
         nbr_min = (
             edges.join(
@@ -249,6 +269,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} "
+            "iterations — a component's diameter exceeds max_iter and "
+            "the returned cluster labels are not final"
+        )
+        if on_nonconverged == "raise":
+            raise ConvergenceError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

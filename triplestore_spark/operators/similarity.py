@@ -190,7 +190,7 @@ def _ivf_centroids(
     vec_d = F.col(vec_col).cast("array<double>")
     for _ in range(lloyd_iters):
         assigned = embeddings.withColumn(
-            "cluster", _nearest_centroid_expr(vec_d, centroids.tolist())
+            "cluster", nearest_centroid_col(vec_d, centroids.tolist())
         )
         means = (
             assigned.select(
@@ -223,6 +223,47 @@ def _nearest_centroid_expr(vec_d: Column, c_list: list[list[float]]) -> Column:
     return F.array_position(scores, F.array_max(scores)).cast("int") - 1
 
 
+# n_clusters * dim above which the literal Catalyst expression (one
+# cosine fold per centroid, every centroid embedded as literal arrays)
+# stops being codegen-friendly — production k (thousands of clusters)
+# would blow up the generated code. Past it, assignment switches to a
+# single Arrow-batched numpy matmul per batch: same argmax-of-cosine
+# semantics, first-max tie-breaking on both paths.
+CENTROID_EXPR_MAX_TERMS = 4096
+
+
+def _nearest_centroid_udf(c_list: list[list[float]]):
+    import numpy as np
+
+    C = np.array(c_list, dtype="float64")
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    C = C / cn
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype="float64")
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        sims = (V / vn) @ C.T
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return _assign
+
+
+def nearest_centroid_col(vec_d: Column, c_list: list[list[float]]) -> Column:
+    """Cluster id of the nearest (max-cosine) centroid. Dispatches on
+    n_clusters x dim: small models stay pure-Catalyst (whole-stage
+    codegen, no Python); past CENTROID_EXPR_MAX_TERMS the Arrow matmul
+    path takes over (the banded_bucket_udf pattern). Both paths are
+    deterministic and pick the FIRST maximal centroid on ties —
+    parity is locked by tests/test_dataops.py."""
+    n_terms = len(c_list) * (len(c_list[0]) if c_list else 0)
+    if n_terms <= CENTROID_EXPR_MAX_TERMS:
+        return _nearest_centroid_expr(vec_d, c_list)
+    return _nearest_centroid_udf(c_list)(vec_d)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -253,7 +294,7 @@ def ivf_topk(
 
     vec_d = F.col(vec_col).cast("array<double>")
     assigned = embeddings.withColumn(
-        "cluster", _nearest_centroid_expr(vec_d, c_list)
+        "cluster", nearest_centroid_col(vec_d, c_list)
     )
 
     # queries probe their n_probe nearest centroids

@@ -103,20 +103,46 @@ def resolve_mentions_fuzzy(
     mentions: DataFrame,
     dictionary: DataFrame,
     min_score: float = 0.6,
+    strategy: str = "broadcast",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Fuzzy ER path: score every (surface, dictionary-surface) pair
     that shares a first character (cheap blocking key) with the
     vectorized link scorer, keep the best candidate above threshold.
 
-    The blocking join is broadcast; only the scoring crosses the
-    Arrow boundary, in batches."""
+    Two physical strategies for the same logical blocking join (the
+    exact path's split at resolve_mentions applied to the fuzzy join):
+
+    - "broadcast" (default): the dictionary is gazetteer-sized — ship
+      it whole, the mention stream never shuffles. Only the scoring
+      crosses the Arrow boundary, in batches.
+    - "salted": for dictionaries too large to broadcast. The 1-char
+      block is intrinsically low-cardinality (≤ alphabet size), so a
+      plain repartition join would funnel each block's entire mention
+      stream through ONE reducer; instead the probe side gets
+      salt = pmod(xxhash64(doc_id, surface), n_salts), the dictionary
+      explodes across all salts, and the join key (blk, salt) spreads
+      every hot block over n_salts reducers. Identical output to the
+      broadcast strategy — locked by tests/test_skew.py."""
     from pyspark.sql.window import Window
 
     probe = mentions.withColumn("blk", F.substring("surface", 1, 1))
     dict_blk = dictionary.withColumn(
         "blk", F.substring("surface", 1, 1)
     ).withColumnRenamed("surface", "cand_surface")
-    scored = probe.join(F.broadcast(dict_blk), on="blk").withColumn(
+    if strategy == "broadcast":
+        joined = probe.join(F.broadcast(dict_blk), on="blk")
+    elif strategy == "salted":
+        salts = F.sequence(F.lit(0), F.lit(n_salts - 1))
+        dict_salted = dict_blk.withColumn("salt", F.explode(salts))
+        probe = probe.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("doc_id", "surface"), F.lit(n_salts)).cast("int"),
+        )
+        joined = probe.join(dict_salted, on=["blk", "salt"]).drop("salt")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    scored = joined.withColumn(
         "score", link_score_udf()(F.col("surface"), F.col("cand_surface"))
     )
     w = Window.partitionBy("doc_id", "surface").orderBy(

@@ -716,6 +716,30 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         None,
     )
+    q["simhash_ham0_verified"] = (
+        # The simhash fingerprint is a pure function of a document's
+        # DISTINCT TOKEN SET (shingles_df(n=1) + array_distinct), so
+        # identical token sets collide at Hamming distance 0 by
+        # construction, and on this corpus NO two distinct token sets
+        # do (verified at sf0.01 and sf0.1) — which makes the exact
+        # same-token-set pair list a full value-hash oracle for the
+        # banded candidate join + XOR-popcount verify pipeline. The
+        # planted Hamming-ball cases (distance 1..3 via token edits)
+        # are covered by the independent pure-Python XXH64 reference
+        # in tests/test_simhash_planted.py.
+        lambda spark, sf: DD.simhash_near_pairs(
+            _read(spark, sf, "documents"), max_hamming=0
+        ).select("doc_a", "doc_b"),
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(string_split(text, ' '))) AS ts
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b ON a.ts = b.ts AND a.doc_id < b.doc_id
+        """,
+    )
 
     # shared SQL prefix: exact-Jaccard dup pairs at >= 0.5 (proven
     # equal to the minhash pipeline's output on this corpus)
@@ -867,6 +891,23 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
 
     q["emb_near_dup"] = (_emb_near_dup, SIM.planted_near_dup_sql(dim=64))
 
+    q["ann_recall_at_k"] = (
+        # The verified twin for the whole approximate-ANN family:
+        # recall@5 of lsh / ivf / persisted-ivf-index / large-k ivf
+        # (n_clusters=256 -> the Arrow-matmul centroid assigner) vs
+        # the exact brute-force top-k, computed relationally
+        # (left-semi join on (query_id, neighbor_id)), thresholded
+        # per method, and oracled with a VALUES row. Thresholds sit
+        # WELL below the measured recalls at sf0.01 and sf0.1 so the
+        # gate detects broken candidate generation, not LSH variance.
+        lambda spark, sf: _ann_recall(spark, sf),
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{m}', true)" for m in sorted(_ANN_RECALL_THRESHOLDS)
+        )
+        + ") AS t(method, recall_ok)",
+    )
+
     q["media_features"] = (
         # Multimodal plumbing through the gate: media spans -> media
         # table -> Arrow-batched feature decode (fake decoder — no
@@ -938,6 +979,16 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # (reference encode.go:100-142) -> cursor decode (decode.go:
         # 150-225) -> canonical fields must survive unchanged
         lambda spark, sf: _bin_roundtrip(spark, sf),
+        TPCH_TRIPLES_SQL + f"SELECT DISTINCT {_TRIPLE_COLS} FROM keyed",
+    )
+
+    q["bin_split_roundtrip"] = (
+        # S4 at scale: the SAME triples through ONE binary file read by
+        # the record-boundary-splitting reader (sources/binary.py
+        # read_binary_split) with the file forced into many splits —
+        # output must be identical to the per-file cursor decode
+        # (task-count > 1 is asserted in tests/test_codec.py)
+        lambda spark, sf: _bin_split_roundtrip(spark, sf),
         TPCH_TRIPLES_SQL + f"SELECT DISTINCT {_TRIPLE_COLS} FROM keyed",
     )
 
@@ -1160,6 +1211,76 @@ def _corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
     )
+
+
+def _bin_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from triplestore_spark.sources.binary import (
+        encode_binary_triples,
+        read_binary_split,
+    )
+
+    g = dedup_triples(tpch_graph_triples(spark, sf_dir))
+    d = tempfile.mkdtemp(prefix="binsplit_gate_")
+    path = os.path.join(d, "doc.bin")
+    with open(path, "wb") as f:
+        f.write(encode_binary_triples(g))
+    return read_binary_split(spark, path, split_size=2048).select(
+        *[c.strip() for c in _TRIPLE_COLS.split(",")]
+    )
+
+
+# Per-method recall@5 floors for ann_recall_at_k. Measured recalls at
+# sf0.01/sf0.1 sit well above these (see tests/test_dataops.py which
+# asserts the measured values too); the floor catches broken candidate
+# generation, not LSH variance.
+_ANN_RECALL_THRESHOLDS = {
+    "lsh": 0.6,
+    "ivf": 0.6,
+    "ivf_index": 0.6,
+    "ivf_largek": 0.6,
+}
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators import similarity as SIM
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
+    qids = [0, 1, 2]
+    k = 5
+    truth = SIM.brute_force_topk(emb, qids, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = {
+        "lsh": SIM.lsh_topk(emb, qids, k=k, dim=dim),
+        "ivf": SIM.ivf_topk(emb, qids, k=k, n_clusters=8, n_probe=3),
+        "ivf_index": _ivf_index_topk(spark, sf_dir),
+        # n_clusters x dim = 256 x 64 > CENTROID_EXPR_MAX_TERMS ->
+        # exercises the Arrow-matmul assigner end-to-end
+        "ivf_largek": SIM.ivf_topk(
+            emb, qids, k=k, n_clusters=256, n_probe=48, lloyd_iters=1
+        ),
+    }
+    total = truth.agg(F.count(F.lit(1)).alias("total"))
+    out = None
+    for name in sorted(_ANN_RECALL_THRESHOLDS):
+        hits = (
+            approx[name]
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        r = hits.crossJoin(total).select(
+            F.lit(name).alias("method"),
+            (
+                F.col("hits") / F.col("total")
+                >= F.lit(_ANN_RECALL_THRESHOLDS[name])
+            ).alias("recall_ok"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 def _ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,13 +128,12 @@ def decode_binary_bytes(blob: bytes) -> list[tuple]:
 def read_binary(spark: SparkSession, path: str) -> DataFrame:
     """binaryFile scan -> per-file cursor decode in Arrow batches.
 
-    Parallelism cap: the wire format is a self-delimiting byte stream
-    with no sync markers (reference encode.go:100-142), so a file can
-    only be cursor-decoded start-to-end — binaryFile gives one task
-    per file and one 1 TB file would be one task. This matches the
-    reference's one-goroutine-per-reader model (decode.go:241-295);
-    at scale, shard binary datasets into many files (the CLI and the
-    encode sink already write per-partition files)."""
+    Parallelism cap: binaryFile gives one task per file, matching the
+    reference's one-goroutine-per-reader model (decode.go:241-295) —
+    right for many smallish files (the CLI and the encode sink write
+    per-partition files). For FEW LARGE files use read_binary_split
+    below: it range-splits single files on record boundaries so a
+    1 TB .bin parallelizes."""
     files = spark.read.format("binaryFile").load(path)
     return decode_binary_blobs_df(files, col="content")
 
@@ -194,6 +193,214 @@ def encode_binary_triples(df: DataFrame) -> bytes:
         .collect()
     )
     return b"".join(encode_triple_bytes(tuple(r)) for r in rows)
+
+
+class _FileWindow:
+    """Forward-moving byte window over a seekable file: absolute-offset
+    reads backed by chunked buffering, so the split scanner below never
+    issues 4-byte syscalls and never holds more than a few chunks."""
+
+    def __init__(self, f, flen: int, chunk: int = 1 << 20):
+        self._f = f
+        self._flen = flen
+        self._chunk = chunk
+        self._start = 0
+        self._buf = b""
+
+    def bytes_at(self, off: int, n: int) -> bytes:
+        if off + n > self._flen:
+            raise BinaryDecodeError("read past end of file")
+        if off < self._start:
+            # resync stepped back before the buffered region: restart
+            self._start, self._buf = off, b""
+        have_end = self._start + len(self._buf)
+        if off > have_end:
+            self._start, self._buf, have_end = off, b"", off
+        while have_end < off + n:
+            self._f.seek(have_end)
+            data = self._f.read(max(self._chunk, off + n - have_end))
+            if not data:
+                raise BinaryDecodeError("unexpected EOF")
+            self._buf += data
+            have_end += len(data)
+        if off - self._start > 4 * self._chunk:
+            self._buf = self._buf[off - self._start :]
+            self._start = off
+        rel = off - self._start
+        return self._buf[rel : rel + n]
+
+
+def _scan_record(w: _FileWindow, off: int, flen: int) -> tuple[tuple, int]:
+    """Parse ONE record at absolute offset `off`; returns (triple
+    fields, next offset). Raises BinaryDecodeError on anything that is
+    not a well-formed record — the resync scanner treats that as
+    'off is not a boundary'."""
+    b0 = w.bytes_at(off, 1)[0]
+    if b0 > 1:
+        raise BinaryDecodeError("bad bool byte")
+    pos = off + 1
+
+    def word() -> str:
+        nonlocal pos
+        (ln,) = struct.unpack(">I", w.bytes_at(pos, 4))
+        pos += 4
+        if ln > flen - pos:
+            raise BinaryDecodeError(f"cannot decode word of length {ln}")
+        try:
+            s = w.bytes_at(pos, ln).decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise BinaryDecodeError(str(e)) from e
+        pos += ln
+        return s
+
+    is_bnode = b0 != 0
+    sub = word()
+    pred = word()
+    tag = w.bytes_at(pos, 1)[0]
+    pos += 1
+    if tag == RESOURCE_TAG:
+        row = (sub, is_bnode, pred, S.KIND_RESOURCE, word(), "", "")
+    elif tag == BNODE_TAG:
+        row = (sub, is_bnode, pred, S.KIND_BNODE, word(), "", "")
+    elif tag == LITERAL_LANG_TAG:
+        lang = word()
+        row = (sub, is_bnode, pred, S.KIND_LITERAL,
+               unescape_string_literal(word()), "", lang)
+    elif tag == LITERAL_TAG:
+        typ = word()
+        val = word()
+        if typ == S.XSD_STRING:
+            val = unescape_string_literal(val)
+        row = (sub, is_bnode, pred, S.KIND_LITERAL, val, typ, "")
+    else:
+        raise BinaryDecodeError(f"unknown object tag {tag}")
+    return row, pos
+
+
+def _find_boundary(
+    w: _FileWindow, start: int, end: int, flen: int, validate_records: int
+) -> Optional[int]:
+    """Smallest record boundary in [start, end): the wire format has no
+    sync marker (reference encode.go:100-142), so candidate offsets are
+    validated by parsing a CHAIN of `validate_records` records (or to
+    EOF) — the bool byte, the object tag, length sanity, and utf-8
+    validity of every word must all hold across the chain, which makes
+    a false boundary inside a record body vanishingly unlikely."""
+    if start == 0:
+        return 0
+    o = start
+    while o < min(end, flen):
+        try:
+            pos = o
+            for _ in range(validate_records):
+                _, pos = _scan_record(w, pos, flen)
+                if pos >= flen:
+                    break
+            return o
+        except BinaryDecodeError:
+            o += 1
+    return None
+
+
+def _decode_file_range(
+    path: str, start: int, end: int, flen: int, validate_records: int = 4
+) -> list[tuple]:
+    """Decode the records whose first byte lies in [start, end). A
+    record straddling `end` is completed by this range (its owner);
+    the next range's boundary scan skips over its tail."""
+
+    def _open(p: str):
+        if p.startswith("file:"):
+            local = p[len("file:") :]
+            while local.startswith("//"):
+                local = local[1:]
+            return open(local, "rb")
+        if "://" in p:
+            from pyarrow import fs as pafs
+
+            f, inner = pafs.FileSystem.from_uri(p)
+            return f.open_input_file(inner)
+        return open(p, "rb")
+
+    rows: list[tuple] = []
+    with _open(path) as f:
+        w = _FileWindow(f, flen)
+        o = _find_boundary(w, start, end, flen, validate_records)
+        if o is None:
+            return rows
+        pos = o
+        while pos < min(end, flen):
+            row, pos = _scan_record(w, pos, flen)
+            rows.append(row)
+    return rows
+
+
+def read_binary_split(
+    spark: SparkSession,
+    path: str,
+    split_size: int = 128 << 20,
+    validate_records: int = 4,
+) -> DataFrame:
+    """Record-boundary-splitting binary reader: ONE large .bin file
+    parallelizes across tasks (read_binary's one-task-per-file cap —
+    the reference's per-reader model, decode.go:129-148 — removed).
+
+    The driver lists files via the Hadoop FileSystem API and emits
+    (path, start, end, length) ranges of `split_size` bytes; each task
+    resyncs onto the first record boundary at-or-after its range start
+    by chained parse validation (no sync marker exists in the format)
+    and decodes every record starting inside its range, following a
+    final straddling record into the next range. Output is identical
+    to read_binary — asserted by tests/test_codec.py with the file
+    forced into >1 task via spark_partition_id."""
+    from triplestore_spark.streaming.ingest import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, path)
+    files: list[tuple[str, int]] = []
+
+    def _add(status):
+        if status.isDirectory():
+            for st in fs.listStatus(status.getPath()):
+                _add(st)
+        else:
+            name = status.getPath().getName()
+            if not name.startswith(("_", ".")):
+                files.append((status.getPath().toString(), status.getLen()))
+
+    for st in fs.globStatus(jpath) or []:
+        _add(st)
+
+    ranges = []
+    for p, flen in files:
+        start = 0
+        while start < flen:
+            ranges.append((p, start, min(start + split_size, flen), flen))
+            start += split_size
+    if not ranges:
+        return with_keys(
+            spark.createDataFrame([], S.TRIPLE_SCHEMA)
+        )
+
+    ranges_df = spark.createDataFrame(
+        ranges, "path string, start long, end long, flen long"
+    ).repartition(len(ranges))
+
+    vr = validate_records
+
+    def _decode(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for p, s, e, fl in zip(
+                pdf["path"], pdf["start"], pdf["end"], pdf["flen"]
+            ):
+                rows.extend(
+                    _decode_file_range(p, int(s), int(e), int(fl), vr)
+                )
+            yield pd.DataFrame(rows, columns=S.TRIPLE_FIELDS)
+
+    return with_keys(ranges_df.mapInPandas(_decode, schema=S.TRIPLE_SCHEMA))
 
 
 def is_nt_format(head: bytes) -> bool:

@@ -35,6 +35,8 @@ from triplestore_spark.sources.ntriples import decode_lines_df
 
 DEFAULT_BUCKETS = 64
 _BUCKET = "tkey_bucket"
+_OLD_SUFFIX = "._old"
+_TMP_SUFFIX = "._compacting"
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -70,6 +72,11 @@ def merge_batch_into_sink(
     filter, so the anti-join's scan size is independent of total sink
     size."""
     spark = batch_df.sparkSession
+    # repair any state a crashed compaction left behind BEFORE deciding
+    # whether the sink exists — otherwise a missing-but-recoverable data
+    # path would be mistaken for a fresh sink and all prior data
+    # silently stranded in the ._old directory
+    recover_sink(spark, data_path)
     batch = batch_df.dropDuplicates(["tkey"]).withColumn(
         _BUCKET, bucket_expr(n_buckets)
     )
@@ -134,28 +141,99 @@ def read_sink(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def _jpath(spark: SparkSession, path: str):
+    return _hadoop_fs(spark, path)[1]
+
+
+def _bucket_dirs(fs, jpath) -> list[str]:
+    """Names of the tkey_bucket=N partition directories under jpath."""
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith(_BUCKET + "=")
+    )
+
+
+def recover_sink(spark: SparkSession, data_path: str) -> bool:
+    """Repair leftover ._old / ._compacting state from a compaction
+    that crashed mid-swap. Called on entry by both merge and compact,
+    so the sink self-heals on the next touch. Returns True if any
+    repair action was taken.
+
+    Invariants this restores: every bucket partition present in ._old
+    but missing from the live path is renamed back (the crash window
+    of the per-bucket swap is between those two renames); a whole
+    missing data path with an ._old sibling is the legacy full-swap
+    crash and is renamed back wholesale; a stale ._compacting
+    directory is discarded (its contents are a derived rewrite — the
+    next compaction regenerates them)."""
+    fs, data = _hadoop_fs(spark, data_path)
+    old = _jpath(spark, data_path + _OLD_SUFFIX)
+    tmp = _jpath(spark, data_path + _TMP_SUFFIX)
+    acted = False
+    if fs.exists(old):
+        if not fs.exists(data):
+            fs.rename(old, data)
+        else:
+            for name in _bucket_dirs(fs, old):
+                dest = _jpath(spark, data_path + "/" + name)
+                if not fs.exists(dest):
+                    fs.rename(
+                        _jpath(spark, data_path + _OLD_SUFFIX + "/" + name),
+                        dest,
+                    )
+            fs.delete(old, True)
+        acted = True
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+        acted = True
+    return acted
+
+
 def compact_sink(
     spark: SparkSession, table_dir: str, files_per_bucket: int = 1
 ) -> None:
-    """Rewrite the sink so each bucket partition holds
-    `files_per_bucket` files (appends leave one fragment per batch per
-    bucket forever otherwise). Write-to-sibling + atomic rename via
-    the Hadoop FileSystem API — storage-agnostic, no partial state on
-    failure (the original survives until the final rename)."""
+    """Rewrite the sink so each bucket partition holds few files
+    (appends leave one fragment per batch per bucket forever
+    otherwise). The bucket count is derived from the sink's own
+    partition directories, so it is always consistent with however the
+    stream was configured (n_buckets is not re-threaded — the sink is
+    the source of truth).
+
+    Crash safety: the compacted copy is fully written to a sibling
+    ._compacting directory first, then swapped in BUCKET BY BUCKET
+    (rename live->._old, rename compacted->live). The live data path
+    as a whole never disappears, and because compaction never changes
+    table contents, a crash mid-swap leaves a table that is still
+    byte-for-byte-correct to read (some buckets compacted, some not);
+    recover_sink — invoked at every subsequent merge or compact —
+    restores any bucket caught between its two renames and clears the
+    leftovers. (Hadoop rename is not atomic on S3; on object stores
+    run compaction through a committer or Iceberg MERGE instead —
+    operators/iceberg.py.)"""
     import os
 
     data_path = os.path.join(table_dir, "triples.parquet")
-    tmp_path = data_path + "._compacting"
+    tmp_path = data_path + _TMP_SUFFIX
+    old_path = data_path + _OLD_SUFFIX
+    recover_sink(spark, data_path)
+
+    fs, data = _hadoop_fs(spark, data_path)
+    n_buckets = len(_bucket_dirs(fs, data)) or DEFAULT_BUCKETS
     df = spark.read.parquet(data_path)
     (
-        df.repartition(files_per_bucket * DEFAULT_BUCKETS, F.col(_BUCKET))
+        df.repartition(files_per_bucket * n_buckets, F.col(_BUCKET))
         .write.mode("overwrite")
         .partitionBy(_BUCKET)
         .parquet(tmp_path)
     )
-    fs, old = _hadoop_fs(spark, data_path)
-    _, new = _hadoop_fs(spark, tmp_path)
-    trash = _hadoop_fs(spark, data_path + "._old")[1]
-    fs.rename(old, trash)
-    fs.rename(new, old)
-    fs.delete(trash, True)
+    tmp = _jpath(spark, tmp_path)
+    old = _jpath(spark, old_path)
+    fs.mkdirs(old)
+    for name in _bucket_dirs(fs, tmp):
+        live = _jpath(spark, data_path + "/" + name)
+        if fs.exists(live):
+            fs.rename(live, _jpath(spark, old_path + "/" + name))
+        fs.rename(_jpath(spark, tmp_path + "/" + name), live)
+    fs.delete(old, True)
+    fs.delete(tmp, True)
