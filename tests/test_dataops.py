@@ -223,7 +223,7 @@ def test_lsh_topk_scores_match_exact(emb):
         (r["query_id"], r["neighbor_id"]): r["cosine"]
         for r in brute_force_topk(corpus, qids, k=1000000).collect()
     }
-    approx = lsh_topk(corpus, qids, k=5, dim=dim, n_planes=6)
+    approx = lsh_topk(corpus, qids, k=5, dim=dim)
     rows = approx.collect()
     assert rows, "LSH returned nothing"
     for r in rows:

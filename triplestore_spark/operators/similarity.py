@@ -113,45 +113,58 @@ def lsh_topk(
     query_ids: list[int],
     k: int = 5,
     dim: int = 32,
-    n_planes: int = 6,
+    bands: int = 16,
+    rows_per_band: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's bucket or any
-    1-bit-flip neighbor bucket (multi-probe), exact cosine re-rank
-    within candidates."""
-    bucketed = with_lsh_buckets(embeddings, dim, n_planes, vec_col=vec_col)
-    queries = bucketed.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("bucket").alias("qbucket"),
-    )
-    probes = queries.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                    for i in range(n_planes)
-                ],
+    """Approximate top-k via banded hyperplane LSH (OR-construction):
+    a corpus vector is a candidate if ANY of `bands` independent
+    rows_per_band-bit sign buckets matches the query's, then exact
+    cosine re-ranks the candidates. Recall at cosine c is
+    1-(1-p^r)^b with p = 1-acos(c)/pi — the defaults give ~0.93 at
+    c=0.6 and ~0.8 at c=0.5, where round 2's single-bucket +
+    1-bit-multiprobe design recalled <0.3 (measured; redesigned to
+    the embedding_near_dup_pairs banding it already shares code with).
+
+    Scale shape: the band join ships only (id, band, bucket) rows;
+    vectors are re-joined per candidate id AFTER dedup, so the wide
+    embedding column never rides the bucket shuffle."""
+    buckets = embeddings.select(
+        F.col(id_col).alias("nid"),
+        F.posexplode(
+            banded_bucket_udf(dim, bands, rows_per_band, seed)(
+                F.col(vec_col).cast("array<double>")
             )
-        ).alias("bucket"),
+        ).alias("band", "bucket"),
     )
-    cos = cosine_expr(
-        F.col("qvec").cast("array<double>"),
-        F.col(vec_col).cast("array<double>"),
+    qbuckets = buckets.where(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("query_id"), "band", "bucket"
     )
+    cand = (
+        buckets.join(F.broadcast(qbuckets), on=["band", "bucket"])
+        .where(F.col("nid") != F.col("query_id"))
+        .select("query_id", F.col("nid").alias("neighbor_id"))
+        .distinct()
+    )
+    qvecs = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    nvecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nvec"),
+    )
+    cos = cosine_expr(F.col("qvec"), F.col("nvec"))
     scored = (
-        bucketed.join(F.broadcast(probes), on="bucket")
-        .where(F.col(id_col) != F.col("query_id"))
+        cand.join(F.broadcast(qvecs), on="query_id")
+        .join(nvecs, on="neighbor_id")
         .select(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
+            "neighbor_id",
             F.round(cos, 6).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

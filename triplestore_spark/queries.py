@@ -1236,10 +1236,13 @@ def _bin_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserts the measured values too); the floor catches broken candidate
 # generation, not LSH variance.
 _ANN_RECALL_THRESHOLDS = {
-    "lsh": 0.6,
+    # measured (deterministic) recalls: lsh 0.93-1.0 across sf0.001/
+    # 0.01/0.1 (banded OR-construction); ivf/ivf_index 0.67-0.73 at
+    # 8 clusters 3 probes; ivf_largek 0.87-1.0 at 256 clusters
+    "lsh": 0.8,
     "ivf": 0.6,
     "ivf_index": 0.6,
-    "ivf_largek": 0.6,
+    "ivf_largek": 0.8,
 }
 
 
