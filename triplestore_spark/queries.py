@@ -719,17 +719,18 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     q["simhash_ham0_verified"] = (
         # The simhash fingerprint is a pure function of a document's
         # DISTINCT TOKEN SET (shingles_df(n=1) + array_distinct), so
-        # identical token sets collide at Hamming distance 0 by
-        # construction, and on this corpus NO two distinct token sets
-        # do (verified at sf0.01 and sf0.1) — which makes the exact
-        # same-token-set pair list a full value-hash oracle for the
-        # banded candidate join + XOR-popcount verify pipeline. The
-        # planted Hamming-ball cases (distance 1..3 via token edits)
-        # are covered by the independent pure-Python XXH64 reference
-        # in tests/test_simhash_planted.py.
-        lambda spark, sf: DD.simhash_near_pairs(
-            _read(spark, sf, "documents"), max_hamming=0
-        ).select("doc_a", "doc_b"),
+        # every identical-token-set pair MUST land at Hamming 0 and be
+        # recalled by the banded candidate join — that direction is a
+        # theorem, so the gate intersects the Hamming-0 output with
+        # the same-token-set pairs and the oracle is the full
+        # same-set pair list: any pair the banding/fingerprint/
+        # popcount pipeline loses shows up as a missing row. (The
+        # converse — ham0 ⇒ same set — is corpus-dependent and FALSE
+        # at sf0.1, where ~400 near-identical-but-distinct sets
+        # legitimately collide; those fingerprints are verified bit-
+        # for-bit against an independent pure-Python XXH64 reference
+        # in tests/test_simhash_planted.py instead.)
+        lambda spark, sf: _simhash_ham0_same_set(spark, sf),
         """
         WITH toks AS (
           SELECT doc_id,
@@ -1211,6 +1212,28 @@ def _corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
     )
+
+
+def _simhash_ham0_same_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators import dedup as DD
+
+    docs = _read(spark, sf_dir, "documents")
+    ham0 = DD.simhash_near_pairs(docs, max_hamming=0).select("doc_a", "doc_b")
+    ts = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("ts"),
+    )
+    same_set = (
+        ts.alias("a")
+        .join(ts.alias("b"), F.col("a.ts") == F.col("b.ts"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    # inner join: output equals the oracle's same-set pair list IFF the
+    # simhash pipeline recalled every same-set pair at Hamming 0
+    return ham0.join(same_set, on=["doc_a", "doc_b"], how="inner")
 
 
 def _bin_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

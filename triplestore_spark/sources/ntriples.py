@@ -267,7 +267,12 @@ _FAST_LINE = re.compile(
     r'^(?:<(?P<s>[^<>"]*)>|_:(?P<bs>[^ \t<]*))[ \t]*'
     r'<(?P<p>[^<>"]*)>[ \t]*'
     r'(?:<(?P<o>[^<>"]*)>'
-    r"|_:(?P<ob>[^ \t]*)"
+    # bnode-object labels exclude '.'/'#' and must be followed by
+    # explicit whitespace: the reference's parseBNodeObject terminates
+    # a label at '.'-then-'#'/EOL (ntparser.go:205-216), so '_:.# .'
+    # means label "" — labels with those characters (or no trailing
+    # space) take the state-machine path instead of a greedy mismatch
+    r"|_:(?P<ob>[^ \t.#]*)[ \t]"
     r'|"(?P<lit>[^"]*)"'
     r'(?:\^\^<(?P<typ>[^<>"]*)>|@(?P<lang>[A-Za-z0-9-]+))?'
     r")[ \t]*\.[ \t]*(?:#.*)?$"
@@ -307,7 +312,9 @@ _VEC_LINE_PATTERN = (
     r'^(?:<(?P<s>[^<>"]*)>|_:(?P<bs>[^ \t<]*))[ \t]*'
     r'<(?P<p>[^<>"]*)>[ \t]*'
     r'(?:(?P<om><)(?P<o>[^<>"]*)>'
-    r"|(?P<obm>_:)(?P<ob>[^ \t]*)"
+    # same bnode-object narrowing as _FAST_LINE (reference
+    # parseBNodeObject '.'-terminator quirks go to the state machine)
+    r"|(?P<obm>_:)(?P<ob>[^ \t.#]*)[ \t]"
     r'|"(?P<lit>[^"]*)"'
     r'(?:(?P<tm>\^\^<)(?P<typ>[^<>"]*)>|@(?P<lang>[A-Za-z0-9-]+))?'
     r")[ \t]*\.[ \t]*(?:#.*)?$"
