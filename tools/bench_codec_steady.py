@@ -1,0 +1,96 @@
+"""Steady-state codec throughput at 12M triples (the apples-to-apples
+comparison against the reference's published codec numbers,
+BASELINE.md: NT encode ~2.0 M triples/s single-process).
+
+bench.py's sf0.1 codec sections (~120k triples) are latency-dominated;
+this tool replicates the canonical sf0.1 triple set x`--replicate`
+(disjoint subjects), caches it, and times encode / decode over the
+12M-row corpus for `--trials` trials. Trial 1 includes Python-worker
+warmup; trials 2+ are the steady state a long-running 100 TB job sees.
+
+Usage: python tools/bench_codec_steady.py [--replicate 100] [--trials 3]
+Prints one JSON line per trial + a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=100)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    from triplestore_spark.operators.graph import dedup_triples
+    from triplestore_spark.pipeline.run import run_pipeline
+    from triplestore_spark.session import get_spark
+    from triplestore_spark.sources.ntriples import (
+        decode_lines_df,
+        nt_encode_expr,
+    )
+
+    spark = get_spark("codec-steady", cpus=args.cpus,
+                      shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    canon = run_pipeline(spark, args.sf)
+    reps = spark.range(args.replicate).select(F.col("id").alias("rep"))
+    big = (
+        canon.repartition(args.cpus)
+        .crossJoin(F.broadcast(reps))
+        .withColumn("subject", F.concat("subject", F.lit("#"), "rep"))
+        .drop("rep")
+        .cache()
+    )
+    n = big.count()
+
+    lines = big.select(nt_encode_expr().alias("value")).cache()
+    lines.count()  # materialize the line cache once, outside timing
+
+    results = []
+    for t in range(args.trials):
+        t0 = time.time()
+        # max(length) forces full string materialization of every line
+        big.select(nt_encode_expr().alias("v")).agg(
+            F.max(F.length("v"))
+        ).collect()
+        enc = time.time() - t0
+        t0 = time.time()
+        decode_lines_df(lines).count()
+        dec = time.time() - t0
+        row = {
+            "trial": t + 1,
+            "triples": n,
+            "encode_sec": round(enc, 2),
+            "encode_tps": round(n / enc, 1),
+            "decode_sec": round(dec, 2),
+            "decode_tps": round(n / dec, 1),
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    steady = results[1:] or results
+    print(json.dumps({
+        "summary": "steady-state (trials 2+)",
+        "triples": n,
+        "encode_tps_best": max(r["encode_tps"] for r in steady),
+        "decode_tps_best": max(r["decode_tps"] for r in steady),
+        "with_loadavg": open("/proc/loadavg").read().split()[0],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
