@@ -118,3 +118,47 @@ def test_contains_limits_scan(mat_graph):
     plan = plan_str(df)
     assert "Limit" in plan or "CollectLimit" in plan
     assert "PushedFilters" in plan
+
+
+def test_lsh_topk_bucket_shuffle_excludes_vectors(spark, sf_dir):
+    """The banded LSH candidate join must shuffle only (id, band,
+    bucket) rows — the wide embedding column re-joins per candidate id
+    AFTER dedup. An Exchange carrying `embedding` on the bucket side
+    would ship every vector bands times at corpus scale."""
+    import os
+
+    from triplestore_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    plan = plan_str(lsh_topk(emb, [0, 1, 2], k=5, dim=dim))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "bucket" in line:
+            assert "embedding" not in line, line
+            assert "nvec" not in line and "qvec" not in line, line
+
+
+def test_binary_split_ranges_spread_tasks(spark, tmp_path):
+    """The split reader's range table must round-robin across tasks
+    (one range per task), not collapse into one partition."""
+    from pyspark.sql import functions as F
+
+    from triplestore_spark.dsl import subj_pred, triples_to_df
+    from triplestore_spark.sources.binary import (
+        encode_binary_triples,
+        read_binary_split,
+    )
+
+    ts = [subj_pred(f"s{i}", "p").integer_literal(i) for i in range(60)]
+    p = tmp_path / "one.bin"
+    p.write_bytes(encode_binary_triples(triples_to_df(spark, ts)))
+    df = read_binary_split(spark, str(p), split_size=512)
+    per_task = (
+        df.groupBy(F.spark_partition_id().alias("pp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(per_task) >= 3
+    # no task may own the whole file
+    total = sum(r["n"] for r in per_task)
+    assert max(r["n"] for r in per_task) < total
