@@ -510,3 +510,79 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough iterations the same graph is fine
     done = connected_components(pairs, max_iter=25)
     assert done.where(F.col("cluster_id") != 0).count() == 0
+
+
+def test_bpe_token_count_matches_python_re(docs):
+    """The pretokenizer regex must count exactly like Python's re over
+    the same pattern (three independent engines: Java, RE2, Python)."""
+    import re
+
+    from triplestore_spark.operators.textstats import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count,
+    )
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(docs.limit(50)).collect()
+    }
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    for r in docs.limit(50).collect():
+        assert got[r["doc_id"]] == len(pat.findall(r["text"])), r["doc_id"]
+
+
+def test_chunk_documents_reconstructs(docs):
+    """Chunk invariants: chunk 0 starts the doc, steps advance by
+    chunk-overlap, every token is covered, and stitching chunk 0 +
+    each subsequent chunk's tail reproduces the document exactly."""
+    from triplestore_spark.operators.textstats import chunk_documents
+
+    chunk, overlap = 16, 4
+    sample = docs.limit(20)
+    rows = chunk_documents(sample, chunk, overlap).collect()
+    texts = {r["doc_id"]: r["text"].split(" ") for r in sample.collect()}
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r[
+            "chunk_text"
+        ].split(" ")
+    step = chunk - overlap
+    for doc_id, chunks in by_doc.items():
+        toks = texts[doc_id]
+        ids = sorted(chunks)
+        assert ids == list(range(len(ids)))
+        stitched = list(chunks[0])
+        for i in ids[1:]:
+            assert len(chunks[i]) <= chunk
+            # each chunk starts exactly step tokens after the previous
+            assert chunks[i] == toks[i * step : i * step + chunk]
+            stitched += chunks[i][overlap:] if len(chunks[i]) > overlap else []
+        # short docs: single chunk equals the doc
+        assert stitched[: len(toks)] == toks
+
+
+def test_pack_documents_formula_and_shards(spark, docs):
+    """pack_id must equal floor(exclusive-prefix-sum / window) in
+    doc_id order, and the sharded variant must reproduce the same
+    assignment within each shard."""
+    from triplestore_spark.operators.textstats import pack_documents
+
+    window = 256
+    rows = sorted(
+        pack_documents(docs, window).collect(), key=lambda r: r["doc_id"]
+    )
+    run = 0
+    for r in rows:
+        assert r["pack_id"] == run // window, r["doc_id"]
+        run += r["n_tokens"]
+
+    sharded = docs.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
+    srows = pack_documents(sharded, window, shard_col="shard").collect()
+    by_shard: dict = {}
+    for r in sorted(srows, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        run = 0
+        for r in rs:
+            assert r["pack_id"] == run // window, (shard, r["doc_id"])
+            run += r["n_tokens"]

@@ -122,6 +122,135 @@ def filter_documents_sql(
     """
 
 
+# GPT-2-style pretokenizer shape: runs of letters, runs of digits, or
+# runs of other non-space characters, each optionally absorbing one
+# leading space. Plain alternation only — identical leftmost-first
+# semantics in Java regex (Spark) and RE2 (DuckDB), so the oracle is
+# exact. This is the "BPE-ish regex" counter the whitespace counter's
+# chars/4 column only estimates.
+BPE_TOKEN_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens): subword-style token count via the
+    pretokenizer regex — pure Catalyst (regexp_extract_all + size)."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Sliding-window chunking — the standard long-document step of a
+    training-data pipeline: (doc_id, chunk_id, chunk_text,
+    n_chunk_tokens) with chunks of `chunk_tokens` whitespace tokens
+    advancing by chunk_tokens - overlap. A document shorter than one
+    chunk yields exactly one chunk. Pure Catalyst (sequence + explode
+    + slice): one narrow pass, the explode fans out rows without any
+    shuffle, so it streams at scan speed over 100 TB."""
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = tokens_col()
+    n = F.size(toks)
+    n_chunks = 1 + F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(step))).cast("int"),
+    )
+    sliced = F.slice(
+        tokens_col(), F.col("chunk_id") * step + 1, chunk_tokens
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(sliced, " ").alias("chunk_text"),
+            F.size(sliced).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    step = chunk_tokens - overlap
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, 1 + greatest(0,
+               CAST(ceil((len(toks) - {chunk_tokens}) / {step}.0) AS INT))))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(
+             toks[chunk_id * {step} + 1 : chunk_id * {step} + {chunk_tokens}],
+             ' ') AS chunk_text,
+           len(toks[chunk_id * {step} + 1 : chunk_id * {step} + {chunk_tokens}])
+             AS n_chunk_tokens
+    FROM c
+    """
+
+
+def pack_documents(
+    docs: DataFrame, window_tokens: int = 512, shard_col: str | None = None
+) -> DataFrame:
+    """Fixed-boundary sequence packing: documents are laid end-to-end
+    in doc_id order and assigned to the context-window pack their
+    FIRST token falls into — (doc_id, n_tokens, pack_id). The
+    deterministic concat-then-cut packing used to batch pretraining
+    data; a doc straddling a boundary stays with the pack it starts
+    in.
+
+    `shard_col` partitions the running sum (pack ids are then local to
+    a shard): that is the 100 TB shape — a global unpartitioned window
+    funnels the corpus through one task, so production callers pack
+    per shard/file and the global default exists for oracle parity at
+    test scale."""
+    from pyspark.sql.window import Window
+
+    n = F.size(tokens_col())
+    w = (
+        Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
+    ).orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", *( [shard_col] if shard_col else [] ), n.alias("n_tokens"))
+        .withColumn(
+            "pack_id", F.floor(prior / F.lit(window_tokens)).cast("bigint")
+        )
+    )
+
+
+def pack_documents_sql(window_tokens: int = 512) -> str:
+    return f"""
+    SELECT doc_id, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) / {window_tokens}) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    """
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

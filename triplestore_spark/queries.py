@@ -605,6 +605,26 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         TS.FINGERPRINT_SQL,
     )
 
+    q["ts_bpe_tokens"] = (
+        # BPE-ish regex pretokenizer count (GPT-2-shaped alternation,
+        # identical leftmost-first semantics in Java regex and RE2)
+        lambda spark, sf: TS.bpe_token_count(_read(spark, sf, "documents")),
+        TS.BPE_TOKEN_COUNT_SQL,
+    )
+    q["ts_chunks"] = (
+        # sliding-window document chunking (64-token chunks, 16
+        # overlap) — pure Catalyst sequence+explode+slice, exact
+        # DuckDB list-slice oracle
+        lambda spark, sf: TS.chunk_documents(_read(spark, sf, "documents")),
+        TS.chunk_documents_sql(),
+    )
+    q["ts_pack"] = (
+        # fixed-boundary sequence packing into 512-token context
+        # windows (concat-then-cut in doc_id order); global window for
+        # oracle parity — production packs per shard (shard_col)
+        lambda spark, sf: TS.pack_documents(_read(spark, sf, "documents")),
+        TS.pack_documents_sql(),
+    )
     q["ts_filter"] = (
         # the curation FILTER step (quality + language + length gates
         # in one codegen pass); oracle composes the same three
