@@ -316,3 +316,24 @@ def test_binary_split_resync_lands_on_true_boundaries(tmp_path):
         for start in range(1, len(recs[0]) + 1):
             found = _find_boundary(w, start, len(blob), len(blob), 4)
             assert found == bounds[1], (start, found)
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(glob.glob(os.path.join(FIXTURES, "w3c_suite", "positives", "*.nt"))),
+    ids=os.path.basename,
+)
+def test_w3c_positives_batch_path(path):
+    """The Arrow/RE2 batch parser must produce exactly the state
+    machine's rows on every W3C positive fixture (the executor hot
+    path sees real-world grammar, not just encoder output)."""
+    from triplestore_spark.sources.ntriples import parse_nt_batch
+
+    text = open(path, encoding="utf-8").read()
+    lines = [ln.rstrip("\r") for ln in text.split("\n")]
+    slow = []
+    for ln in lines:
+        row = parse_nt_line(ln)
+        if row is not None:
+            slow.append(row)
+    assert parse_nt_batch(lines) == slow
