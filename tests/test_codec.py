@@ -337,3 +337,49 @@ def test_w3c_positives_batch_path(path):
         if row is not None:
             slow.append(row)
     assert parse_nt_batch(lines) == slow
+
+
+def test_binary_split_coverage_verification(spark, tmp_path):
+    """verify_binary_coverage must pass on a healthy file and raise on
+    trailing garbage that no range can attribute to a record (the one
+    corruption mode the plain split decode cannot surface locally)."""
+    from triplestore_spark.sources.binary import (
+        BinaryDecodeError,
+        encode_binary_triples,
+        verify_binary_coverage,
+    )
+
+    df = triples_to_df(spark, CORPUS)
+    blob = encode_binary_triples(df)
+    clean = tmp_path / "clean.bin"
+    clean.write_bytes(blob)
+    verify_binary_coverage(spark, str(clean), split_size=512)
+
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(blob + b"\xff\xfe\xfd" * 40)
+    with pytest.raises(BinaryDecodeError):
+        verify_binary_coverage(spark, str(bad), split_size=512)
+
+
+def test_binary_split_lenient_bool_parity(spark, tmp_path):
+    """Parse mode must match decode_binary_bytes' (and the reference's,
+    decode.go:152 binary.Read-into-bool) lenient nonzero-is-true bool —
+    a whole-file split read of a record with bool byte 7 decodes
+    identically to read_binary."""
+    from triplestore_spark.sources.binary import (
+        encode_triple_bytes,
+        read_binary,
+        read_binary_split,
+    )
+
+    rec = bytearray(
+        encode_triple_bytes(("s", True, "p", "res", "o", "", ""))
+    )
+    assert rec[0] == 1
+    rec[0] = 7  # hand-crafted lenient bool
+    d = tmp_path / "b"
+    d.mkdir()
+    (d / "x.bin").write_bytes(bytes(rec))
+    got = [tuple(r) for r in read_binary_split(spark, str(d)).collect()]
+    want = [tuple(r) for r in read_binary(spark, str(d)).collect()]
+    assert got == want and got[0][1] is True

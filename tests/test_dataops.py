@@ -502,6 +502,13 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(ConvergenceError):
         connected_components(pairs, max_iter=3)
+    # diameter == max_iter: the last counted round IS the finishing
+    # move — the confirming pass must accept it, not raise
+    short = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], ["doc_a", "doc_b"]
+    )
+    ok = connected_components(short, max_iter=3)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         labels = connected_components(pairs, max_iter=3, on_nonconverged="warn")

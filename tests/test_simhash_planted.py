@@ -193,6 +193,14 @@ def test_planted_hamming_ball(spark, sf_dir):
             assert got[pair] == h, pair
 
 
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.path.exists("/root/testdata/sf0.01/documents.parquet"),
+    reason="sf0.01 testdata not present",
+)
 def test_ham0_invariant_and_collisions_are_real(spark):
     """simhash_ham0_verified's contract: every identical-token-set
     pair MUST be recalled at Hamming 0 (theorem: the fingerprint is a

@@ -237,7 +237,8 @@ def connected_components(
     )
     edges = edges.localCheckpoint()
     changed = 0
-    for i in range(max_iter):
+
+    def step(labels, checkpoint: bool):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -248,16 +249,13 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nl").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+        new_labels = labels.join(nbr_min, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
-        if (i + 1) % checkpoint_every == 0:
+        if checkpoint:
             new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
@@ -266,9 +264,18 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        return new_labels, changed
+
+    for i in range(max_iter):
+        labels, changed = step(labels, (i + 1) % checkpoint_every == 0)
         if changed == 0:
             break
+    if changed != 0:
+        # the last counted iteration DID move labels, but it may have
+        # been the finishing move (a component of diameter == max_iter)
+        # — one confirming pass distinguishes 'just converged' from
+        # 'still propagating' before failing the pipeline
+        labels, changed = step(labels, True)
     if changed != 0:
         msg = (
             f"connected_components did not converge in {max_iter} "

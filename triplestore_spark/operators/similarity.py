@@ -3,10 +3,12 @@
 - brute_force_topk: exact cosine top-k, pure Catalyst — the dot
   product is a zip_with + aggregate over the array columns, ranking
   is one window per query. The correctness baseline.
-- lsh_topk: random-hyperplane LSH buckets (deterministic seed) as the
-  scale path — candidates only compete within matching buckets
-  (multi-probe via sign-bit neighbors), then exact cosine re-rank.
-  At 100 TB the bucket join replaces the full cross product.
+- lsh_topk: banded random-hyperplane LSH (OR-construction over
+  `bands` independent sign-bit buckets, deterministic seed) as the
+  scale path — a corpus vector competes iff ANY band bucket matches
+  the query's, then exact cosine re-ranks. At 100 TB the bucket join
+  replaces the full cross product, and only (id, band, bucket) rows
+  ride the shuffle.
 - embedding_near_dup_pairs: near-duplicate detection by cosine >=
   threshold within LSH buckets.
 """
@@ -71,40 +73,6 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
-    )
-
-
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic random hyperplanes (numpy PCG64 with fixed seed)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
-
-
-def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit i = (vec . plane_i) >= 0. Pure Catalyst
-    fold over the plane list (literal arrays)."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        dot = _dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
-        sig = sig + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
-
-
-def with_lsh_buckets(
-    embeddings: DataFrame,
-    dim: int,
-    n_planes: int = 8,
-    seed: int = 42,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    planes = _hyperplanes(dim, n_planes, seed)
-    return embeddings.withColumn(
-        "bucket",
-        lsh_signature_expr(F.col(vec_col).cast("array<double>"), planes),
     )
 
 

@@ -230,13 +230,34 @@ class _FileWindow:
         return self._buf[rel : rel + n]
 
 
-def _scan_record(w: _FileWindow, off: int, flen: int) -> tuple[tuple, int]:
+# Word-length sanity cap for the split scanner: the reference's own
+# test corpus tops out at 65,000-char words (codec_test.go), and a
+# length prefix in the hundreds of MB scanned at an arbitrary resync
+# offset is overwhelmingly a misaligned read of text bytes (e.g.
+# 'http' = 0x68747470 = 1.6 GiB) — without the cap a single candidate
+# offset could buffer gigabytes before failing validation.
+DEFAULT_MAX_WORD_BYTES = 64 << 20
+
+
+def _scan_record(
+    w: _FileWindow,
+    off: int,
+    flen: int,
+    max_word: int = DEFAULT_MAX_WORD_BYTES,
+    strict: bool = False,
+) -> tuple[tuple, int]:
     """Parse ONE record at absolute offset `off`; returns (triple
     fields, next offset). Raises BinaryDecodeError on anything that is
     not a well-formed record — the resync scanner treats that as
-    'off is not a boundary'."""
+    'off is not a boundary'.
+
+    `strict` is the resync-validation mode: the bool byte must be
+    exactly 0/1 (a strong misalignment signal). In parse mode the bool
+    is lenient — any nonzero byte is a bnode subject, matching both
+    decode_binary_bytes above and the reference (Go binary.Read into
+    bool, decode.go:152)."""
     b0 = w.bytes_at(off, 1)[0]
-    if b0 > 1:
+    if strict and b0 > 1:
         raise BinaryDecodeError("bad bool byte")
     pos = off + 1
 
@@ -244,7 +265,7 @@ def _scan_record(w: _FileWindow, off: int, flen: int) -> tuple[tuple, int]:
         nonlocal pos
         (ln,) = struct.unpack(">I", w.bytes_at(pos, 4))
         pos += 4
-        if ln > flen - pos:
+        if ln > flen - pos or ln > max_word:
             raise BinaryDecodeError(f"cannot decode word of length {ln}")
         try:
             s = w.bytes_at(pos, ln).decode("utf-8")
@@ -278,14 +299,20 @@ def _scan_record(w: _FileWindow, off: int, flen: int) -> tuple[tuple, int]:
 
 
 def _find_boundary(
-    w: _FileWindow, start: int, end: int, flen: int, validate_records: int
+    w: _FileWindow,
+    start: int,
+    end: int,
+    flen: int,
+    validate_records: int,
+    max_word: int = DEFAULT_MAX_WORD_BYTES,
 ) -> Optional[int]:
     """Smallest record boundary in [start, end): the wire format has no
     sync marker (reference encode.go:100-142), so candidate offsets are
     validated by parsing a CHAIN of `validate_records` records (or to
-    EOF) — the bool byte, the object tag, length sanity, and utf-8
-    validity of every word must all hold across the chain, which makes
-    a false boundary inside a record body vanishingly unlikely."""
+    EOF) — the strict bool byte, the object tag, length sanity (the
+    max_word cap), and utf-8 validity of every word must all hold
+    across the chain, which makes a false boundary inside a record
+    body vanishingly unlikely."""
     if start == 0:
         return 0
     o = start
@@ -293,7 +320,7 @@ def _find_boundary(
         try:
             pos = o
             for _ in range(validate_records):
-                _, pos = _scan_record(w, pos, flen)
+                _, pos = _scan_record(w, pos, flen, max_word, strict=True)
                 if pos >= flen:
                     break
             return o
@@ -302,12 +329,21 @@ def _find_boundary(
     return None
 
 
-def _decode_file_range(
-    path: str, start: int, end: int, flen: int, validate_records: int = 4
-) -> list[tuple]:
-    """Decode the records whose first byte lies in [start, end). A
-    record straddling `end` is completed by this range (its owner);
-    the next range's boundary scan skips over its tail."""
+def _scan_file_range(
+    path: str,
+    start: int,
+    end: int,
+    flen: int,
+    validate_records: int = 4,
+    tolerant: bool = False,
+) -> tuple[list[tuple], Optional[int], int]:
+    """Decode the records whose first byte lies in [start, end);
+    returns (rows, first_boundary, parse_end). A record straddling
+    `end` is completed by this range (its owner); the next range's
+    boundary scan skips over its tail. first_boundary is None when no
+    record starts inside the range (the range is interior to one giant
+    record — or unparseable; scan_ranges distinguishes the two
+    globally)."""
 
     def _open(p: str):
         if p.startswith("file:"):
@@ -327,12 +363,58 @@ def _decode_file_range(
         w = _FileWindow(f, flen)
         o = _find_boundary(w, start, end, flen, validate_records)
         if o is None:
-            return rows
+            return rows, None, start
         pos = o
         while pos < min(end, flen):
-            row, pos = _scan_record(w, pos, flen)
+            try:
+                row, pos = _scan_record(w, pos, flen)
+            except BinaryDecodeError:
+                if not tolerant:
+                    raise
+                # diagnostic mode: report how far the chain reached —
+                # the driver-side coverage walk turns the shortfall
+                # into a precise gap error
+                break
             rows.append(row)
-    return rows
+    return rows, o, pos
+
+
+def _decode_file_range(
+    path: str, start: int, end: int, flen: int, validate_records: int = 4
+) -> list[tuple]:
+    return _scan_file_range(path, start, end, flen, validate_records)[0]
+
+
+def _list_ranges(
+    spark: SparkSession, path: str, split_size: int
+) -> list[tuple[str, int, int, int]]:
+    """(path, start, end, file_length) ranges of `split_size` bytes
+    over every data file under `path` (Hadoop FS listing — dir, glob,
+    or single file)."""
+    from triplestore_spark.streaming.ingest import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, path)
+    files: list[tuple[str, int]] = []
+
+    def _add(status):
+        if status.isDirectory():
+            for st in fs.listStatus(status.getPath()):
+                _add(st)
+        else:
+            name = status.getPath().getName()
+            if not name.startswith(("_", ".")):
+                files.append((status.getPath().toString(), status.getLen()))
+
+    for st in fs.globStatus(jpath) or []:
+        _add(st)
+
+    ranges = []
+    for p, flen in sorted(files):
+        start = 0
+        while start < flen:
+            ranges.append((p, start, min(start + split_size, flen), flen))
+            start += split_size
+    return ranges
 
 
 def read_binary_split(
@@ -352,30 +434,20 @@ def read_binary_split(
     and decodes every record starting inside its range, following a
     final straddling record into the next range. Output is identical
     to read_binary — asserted by tests/test_codec.py with the file
-    forced into >1 task via spark_partition_id."""
-    from triplestore_spark.streaming.ingest import _hadoop_fs
+    forced into >1 task via spark_partition_id.
 
-    fs, jpath = _hadoop_fs(spark, path)
-    files: list[tuple[str, int]] = []
-
-    def _add(status):
-        if status.isDirectory():
-            for st in fs.listStatus(status.getPath()):
-                _add(st)
-        else:
-            name = status.getPath().getName()
-            if not name.startswith(("_", ".")):
-                files.append((status.getPath().toString(), status.getLen()))
-
-    for st in fs.globStatus(jpath) or []:
-        _add(st)
-
-    ranges = []
-    for p, flen in files:
-        start = 0
-        while start < flen:
-            ranges.append((p, start, min(start + split_size, flen), flen))
-            start += split_size
+    Caveats a deployment must know:
+    - Workers open files with pyarrow's FileSystem (or plain open for
+      file: paths): hdfs:// needs libhdfs in the Python worker env and
+      s3:// uses pyarrow's native S3 with environment credentials —
+      Hadoop-side auth config (kerberos, fs.s3a.*) does NOT carry
+      over. The driver-side listing always uses the Hadoop FS.
+    - Corruption inside a range fails that task loudly, but a range in
+      which NO candidate boundary validates contributes zero rows
+      (indistinguishable locally from a range interior to one giant
+      record). For untrusted input run verify_binary_coverage(), which
+      proves the record chain tiles every file end-to-end."""
+    ranges = _list_ranges(spark, path, split_size)
     if not ranges:
         return with_keys(
             spark.createDataFrame([], S.TRIPLE_SCHEMA)
@@ -401,6 +473,100 @@ def read_binary_split(
             yield pd.DataFrame(rows, columns=S.TRIPLE_FIELDS)
 
     return with_keys(ranges_df.mapInPandas(_decode, schema=S.TRIPLE_SCHEMA))
+
+
+def scan_ranges(
+    spark: SparkSession,
+    path: str,
+    split_size: int = 128 << 20,
+    validate_records: int = 4,
+) -> DataFrame:
+    """Coverage diagnostic for read_binary_split: one row per range —
+    (path, start, end, first_boundary, parse_end, n_records)."""
+    from pyspark.sql import types as T
+
+    ranges = _list_ranges(spark, path, split_size)
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("first_boundary", T.LongType()),
+            T.StructField("parse_end", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+        ]
+    )
+    if not ranges:
+        return spark.createDataFrame([], schema)
+    ranges_df = spark.createDataFrame(
+        ranges, "path string, start long, end long, flen long"
+    ).repartition(len(ranges))
+    vr = validate_records
+
+    def _scan(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for p, s, e, fl in zip(
+                pdf["path"], pdf["start"], pdf["end"], pdf["flen"]
+            ):
+                rows, first, pend = _scan_file_range(
+                    p, int(s), int(e), int(fl), vr, tolerant=True
+                )
+                out.append((p, int(s), int(e), first, pend, len(rows)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "start", "end", "first_boundary",
+                    "parse_end", "n_records",
+                ],
+            )
+
+    return ranges_df.mapInPandas(_scan, schema)
+
+
+def verify_binary_coverage(
+    spark: SparkSession,
+    path: str,
+    split_size: int = 128 << 20,
+    validate_records: int = 4,
+) -> None:
+    """Prove the split decode tiles every file end-to-end: within each
+    file, walking ranges in order, every found boundary must equal the
+    previous range's parse_end (records chain with no gap — a range
+    with no boundary must be interior to a record its predecessor
+    followed through), and the final parse_end must be the file
+    length. Raises BinaryDecodeError on any gap (silently-undecodable
+    bytes: corruption, trailing garbage, or a false resync)."""
+    rows = sorted(
+        scan_ranges(spark, path, split_size, validate_records).collect(),
+        key=lambda r: (r["path"], r["start"]),
+    )
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r["path"], []).append(r)
+    for p, rs in by_file.items():
+        expected = 0
+        for r in rs:
+            if r["first_boundary"] is not None:
+                if r["first_boundary"] != expected:
+                    raise BinaryDecodeError(
+                        f"{p}: bytes [{expected}, {r['first_boundary']}) "
+                        "belong to no decodable record"
+                    )
+                expected = r["parse_end"]
+            elif r["start"] >= expected:
+                raise BinaryDecodeError(
+                    f"{p}: range [{r['start']}, {r['end']}) contains no "
+                    "decodable record and is not covered by a preceding one"
+                )
+        flen = rs[-1]["end"]
+        if expected != flen:
+            raise BinaryDecodeError(
+                f"{p}: bytes [{expected}, {flen}) at end of file "
+                "belong to no decodable record"
+            )
 
 
 def is_nt_format(head: bytes) -> bool:

@@ -145,6 +145,15 @@ def _jpath(spark: SparkSession, path: str):
     return _hadoop_fs(spark, path)[1]
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem#rename reports most failures by returning
+    FALSE, not by throwing — an unchecked rename followed by a delete
+    of the old copy would be silent data loss, so every swap rename
+    goes through here."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def _bucket_dirs(fs, jpath) -> list[str]:
     """Names of the tkey_bucket=N partition directories under jpath."""
     return sorted(
@@ -173,12 +182,13 @@ def recover_sink(spark: SparkSession, data_path: str) -> bool:
     acted = False
     if fs.exists(old):
         if not fs.exists(data):
-            fs.rename(old, data)
+            _rename_or_raise(fs, old, data)
         else:
             for name in _bucket_dirs(fs, old):
                 dest = _jpath(spark, data_path + "/" + name)
                 if not fs.exists(dest):
-                    fs.rename(
+                    _rename_or_raise(
+                        fs,
                         _jpath(spark, data_path + _OLD_SUFFIX + "/" + name),
                         dest,
                     )
@@ -233,7 +243,7 @@ def compact_sink(
     for name in _bucket_dirs(fs, tmp):
         live = _jpath(spark, data_path + "/" + name)
         if fs.exists(live):
-            fs.rename(live, _jpath(spark, old_path + "/" + name))
-        fs.rename(_jpath(spark, tmp_path + "/" + name), live)
+            _rename_or_raise(fs, live, _jpath(spark, old_path + "/" + name))
+        _rename_or_raise(fs, _jpath(spark, tmp_path + "/" + name), live)
     fs.delete(old, True)
     fs.delete(tmp, True)
