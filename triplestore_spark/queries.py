@@ -842,6 +842,42 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         """,
     )
 
+    # the full training-data curation funnel as ONE composed query:
+    # quality/language/length filter -> minhash near-dup keep-list ->
+    # sliding-window chunking. The oracle is the same composition in
+    # SQL (filter CTE -> exact-Jaccard pairs -> recursive-CTE
+    # reachability keep -> list-slice chunking) — proving the
+    # operators compose, not just pass in isolation.
+    _dup_on_fdocs = _DUP_PAIRS_SQL.replace("FROM documents", "FROM fdocs")
+    _dup_on_fdocs = _dup_on_fdocs.lstrip().removeprefix("WITH ")
+    _chunk_tail = (
+        TS.chunk_documents_sql()
+        .replace("FROM documents", "FROM kept")
+        .lstrip()
+        .removeprefix("WITH ")
+    )
+    q["curation_pipeline"] = (
+        lambda spark, sf: _curation_pipeline(spark, sf),
+        f"""
+        WITH fdocs AS ({TS.filter_documents_sql()}),
+        {_dup_on_fdocs},
+        kept AS (
+          SELECT doc_id, text FROM fdocs
+          WHERE doc_id NOT IN (
+            SELECT node FROM (
+              WITH RECURSIVE reach(node, r) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.s, w.r FROM edges e JOIN reach w ON w.node = e.d
+              )
+              SELECT node, min(r) AS r FROM reach GROUP BY node
+            ) WHERE node <> r
+          )
+        ),
+        {_chunk_tail}
+        """,
+    )
+
     # -- similarity search --
 
     from triplestore_spark.operators import similarity as SIM
@@ -1232,6 +1268,18 @@ def _corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
     )
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators import dedup as DD
+    from triplestore_spark.operators import textstats as TS
+
+    fdocs = TS.filter_documents(_read(spark, sf_dir, "documents"))
+    pairs = DD.minhash_lsh_pairs(
+        fdocs, n=3, num_hashes=32, bands=8, verify_threshold=0.5
+    ).select("doc_a", "doc_b")
+    kept = DD.dedup_keep_list(fdocs, pairs)
+    return TS.chunk_documents(kept)
 
 
 def _simhash_ham0_same_set(spark: SparkSession, sf_dir: str) -> DataFrame:
