@@ -383,3 +383,42 @@ def test_binary_split_lenient_bool_parity(spark, tmp_path):
     got = [tuple(r) for r in read_binary_split(spark, str(d)).collect()]
     want = [tuple(r) for r in read_binary(spark, str(d)).collect()]
     assert got == want and got[0][1] is True
+
+
+def test_binary_split_lenient_bool_at_range_boundary(spark, tmp_path):
+    """Regression (review round 2): a lenient-bool record sitting in a
+    resync validation chain must not be silently dropped — boundary
+    validation now accepts exactly what the whole-file reader accepts.
+    Split sizes are swept so ranges start at every alignment around
+    the lenient record."""
+    from triplestore_spark.sources.binary import (
+        encode_triple_bytes,
+        read_binary,
+        read_binary_split,
+        verify_binary_coverage,
+    )
+
+    recs = []
+    for i in range(10):
+        rec = bytearray(
+            encode_triple_bytes(
+                (f"subject{i}", False, "pred", "lit", f"val {i}",
+                 "xsd:string", "")
+            )
+        )
+        if i == 4:
+            rec[0] = 7  # lenient bool mid-file
+        recs.append(bytes(rec))
+    d = tmp_path / "b"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"".join(recs))
+
+    want = sorted(tuple(r) for r in read_binary(spark, str(d)).collect())
+    assert len(want) == 10
+    for split in (40, 64, 100, 150):
+        got = sorted(
+            tuple(r)
+            for r in read_binary_split(spark, str(d), split_size=split).collect()
+        )
+        assert got == want, f"split_size={split} lost records"
+    verify_binary_coverage(spark, str(d), split_size=64)

@@ -16,6 +16,9 @@ Spark. That gives the rows-only simhash operators real oracles:
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from triplestore_spark.operators import dedup as DD
@@ -193,12 +196,8 @@ def test_planted_hamming_ball(spark, sf_dir):
             assert got[pair] == h, pair
 
 
-import os as _os
-import pytest as _pytest
-
-
-@_pytest.mark.skipif(
-    not _os.path.exists("/root/testdata/sf0.01/documents.parquet"),
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.01/documents.parquet"),
     reason="sf0.01 testdata not present",
 )
 def test_ham0_invariant_and_collisions_are_real(spark):

@@ -796,6 +796,17 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     )
     """
 
+    # min-id reachability over `edges` (shared by every keep-list /
+    # cluster oracle — one definition, three uses)
+    _REACH_MIN_SQL = """(
+      WITH RECURSIVE reach(node, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, w.r FROM edges e JOIN reach w ON w.node = e.d
+      )
+      SELECT node, min(r) AS r FROM reach GROUP BY node
+    )"""
+
     def _dup_pairs(spark, sf):
         return DD.minhash_lsh_pairs(
             _read(spark, sf, "documents"), n=3, num_hashes=32, bands=8,
@@ -808,16 +819,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # oracle = recursive-CTE reachability with min-id labels
         lambda spark, sf: DD.connected_components(_dup_pairs(spark, sf)),
         _DUP_PAIRS_SQL
-        + """
-        SELECT node AS doc_id, r AS cluster_id FROM (
-          WITH RECURSIVE reach(node, r) AS (
-            SELECT s, s FROM edges
-            UNION
-            SELECT e.s, w.r FROM edges e JOIN reach w ON w.node = e.d
-          )
-          SELECT node, min(r) AS r FROM reach GROUP BY node
-        )
-        """,
+        + "SELECT node AS doc_id, r AS cluster_id FROM "
+        + _REACH_MIN_SQL,
     )
 
     q["dedup_keep_list"] = (
@@ -827,17 +830,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             _read(spark, sf, "documents"), _dup_pairs(spark, sf)
         ).select("doc_id"),
         _DUP_PAIRS_SQL
-        + """
+        + f"""
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (
-          SELECT node FROM (
-            WITH RECURSIVE reach(node, r) AS (
-              SELECT s, s FROM edges
-              UNION
-              SELECT e.s, w.r FROM edges e JOIN reach w ON w.node = e.d
-            )
-            SELECT node, min(r) AS r FROM reach GROUP BY node
-          ) WHERE node <> r
+          SELECT node FROM {_REACH_MIN_SQL} WHERE node <> r
         )
         """,
     )
@@ -864,14 +860,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         kept AS (
           SELECT doc_id, text FROM fdocs
           WHERE doc_id NOT IN (
-            SELECT node FROM (
-              WITH RECURSIVE reach(node, r) AS (
-                SELECT s, s FROM edges
-                UNION
-                SELECT e.s, w.r FROM edges e JOIN reach w ON w.node = e.d
-              )
-              SELECT node, min(r) AS r FROM reach GROUP BY node
-            ) WHERE node <> r
+            SELECT node FROM {_REACH_MIN_SQL} WHERE node <> r
           )
         ),
         {_chunk_tail}

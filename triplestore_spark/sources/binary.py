@@ -243,23 +243,28 @@ def _scan_record(
     w: _FileWindow,
     off: int,
     flen: int,
-    max_word: int = DEFAULT_MAX_WORD_BYTES,
-    strict: bool = False,
+    max_word: Optional[int] = None,
 ) -> tuple[tuple, int]:
     """Parse ONE record at absolute offset `off`; returns (triple
     fields, next offset). Raises BinaryDecodeError on anything that is
     not a well-formed record — the resync scanner treats that as
     'off is not a boundary'.
 
-    `strict` is the resync-validation mode: the bool byte must be
-    exactly 0/1 (a strong misalignment signal). In parse mode the bool
-    is lenient — any nonzero byte is a bnode subject, matching both
-    decode_binary_bytes above and the reference (Go binary.Read into
-    bool, decode.go:152)."""
+    The bool byte is LENIENT in every mode — any nonzero byte is a
+    bnode subject, exactly like decode_binary_bytes above and the
+    reference (Go binary.Read into bool, decode.go:152) — so split
+    parsing and resync validation accept precisely the records the
+    whole-file reader accepts (a stricter validator here silently
+    DROPPED lenient records near range boundaries). Resync selectivity
+    comes from the object tag (4/256), length sanity (`max_word`,
+    validation only), and utf-8 validity of every word across the
+    chain. `max_word=None` means uncapped (parse mode — the wire
+    format allows words up to 4 GiB and the whole-file reader imposes
+    no cap)."""
     b0 = w.bytes_at(off, 1)[0]
-    if strict and b0 > 1:
-        raise BinaryDecodeError("bad bool byte")
     pos = off + 1
+    if max_word is None:
+        max_word = flen
 
     def word() -> str:
         nonlocal pos
@@ -309,10 +314,10 @@ def _find_boundary(
     """Smallest record boundary in [start, end): the wire format has no
     sync marker (reference encode.go:100-142), so candidate offsets are
     validated by parsing a CHAIN of `validate_records` records (or to
-    EOF) — the strict bool byte, the object tag, length sanity (the
-    max_word cap), and utf-8 validity of every word must all hold
-    across the chain, which makes a false boundary inside a record
-    body vanishingly unlikely."""
+    EOF) — the object tag, length sanity (the max_word cap), and
+    utf-8 validity of every word must all hold across the chain, which
+    makes a false boundary inside a record body vanishingly
+    unlikely."""
     if start == 0:
         return 0
     o = start
@@ -320,7 +325,7 @@ def _find_boundary(
         try:
             pos = o
             for _ in range(validate_records):
-                _, pos = _scan_record(w, pos, flen, max_word, strict=True)
+                _, pos = _scan_record(w, pos, flen, max_word)
                 if pos >= flen:
                     break
             return o
@@ -336,14 +341,19 @@ def _scan_file_range(
     flen: int,
     validate_records: int = 4,
     tolerant: bool = False,
-) -> tuple[list[tuple], Optional[int], int]:
+    max_word: int = DEFAULT_MAX_WORD_BYTES,
+    keep_rows: bool = True,
+) -> tuple[list[tuple], Optional[int], int, int]:
     """Decode the records whose first byte lies in [start, end);
-    returns (rows, first_boundary, parse_end). A record straddling
-    `end` is completed by this range (its owner); the next range's
-    boundary scan skips over its tail. first_boundary is None when no
-    record starts inside the range (the range is interior to one giant
-    record — or unparseable; scan_ranges distinguishes the two
-    globally)."""
+    returns (rows, first_boundary, parse_end, n_records). A record
+    straddling `end` is completed by this range (its owner); the next
+    range's boundary scan skips over its tail. first_boundary is None
+    when no record starts inside the range (the range is interior to
+    one giant record — or unparseable; scan_ranges distinguishes the
+    two globally). `max_word` caps word lengths during boundary
+    VALIDATION only — confirmed-boundary parsing is uncapped, like the
+    whole-file reader. keep_rows=False counts records without
+    materializing them (the diagnostic path)."""
 
     def _open(p: str):
         if p.startswith("file:"):
@@ -359,11 +369,12 @@ def _scan_file_range(
         return open(p, "rb")
 
     rows: list[tuple] = []
+    n = 0
     with _open(path) as f:
         w = _FileWindow(f, flen)
-        o = _find_boundary(w, start, end, flen, validate_records)
+        o = _find_boundary(w, start, end, flen, validate_records, max_word)
         if o is None:
-            return rows, None, start
+            return rows, None, start, 0
         pos = o
         while pos < min(end, flen):
             try:
@@ -375,14 +386,23 @@ def _scan_file_range(
                 # the driver-side coverage walk turns the shortfall
                 # into a precise gap error
                 break
-            rows.append(row)
-    return rows, o, pos
+            n += 1
+            if keep_rows:
+                rows.append(row)
+    return rows, o, pos, n
 
 
 def _decode_file_range(
-    path: str, start: int, end: int, flen: int, validate_records: int = 4
+    path: str,
+    start: int,
+    end: int,
+    flen: int,
+    validate_records: int = 4,
+    max_word: int = DEFAULT_MAX_WORD_BYTES,
 ) -> list[tuple]:
-    return _scan_file_range(path, start, end, flen, validate_records)[0]
+    return _scan_file_range(
+        path, start, end, flen, validate_records, max_word=max_word
+    )[0]
 
 
 def _list_ranges(
@@ -422,6 +442,7 @@ def read_binary_split(
     path: str,
     split_size: int = 128 << 20,
     validate_records: int = 4,
+    max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
 ) -> DataFrame:
     """Record-boundary-splitting binary reader: ONE large .bin file
     parallelizes across tasks (read_binary's one-task-per-file cap —
@@ -446,7 +467,14 @@ def read_binary_split(
       which NO candidate boundary validates contributes zero rows
       (indistinguishable locally from a range interior to one giant
       record). For untrusted input run verify_binary_coverage(), which
-      proves the record chain tiles every file end-to-end."""
+      proves the record chain tiles every file end-to-end.
+    - Boundary VALIDATION caps word lengths at `max_word_bytes`
+      (64 MiB default) so a misaligned 4-byte text read can't buffer
+      gigabytes per resync candidate; confirmed-boundary parsing is
+      uncapped. A legitimate record with a word beyond the cap that
+      sits exactly at a range start would be skipped by resync — raise
+      max_word_bytes for such data; verify_binary_coverage detects the
+      gap either way."""
     ranges = _list_ranges(spark, path, split_size)
     if not ranges:
         return with_keys(
@@ -457,7 +485,7 @@ def read_binary_split(
         ranges, "path string, start long, end long, flen long"
     ).repartition(len(ranges))
 
-    vr = validate_records
+    vr, mw = validate_records, max_word_bytes
 
     def _decode(it: Iterator) -> Iterator:
         import pandas as pd
@@ -468,7 +496,7 @@ def read_binary_split(
                 pdf["path"], pdf["start"], pdf["end"], pdf["flen"]
             ):
                 rows.extend(
-                    _decode_file_range(p, int(s), int(e), int(fl), vr)
+                    _decode_file_range(p, int(s), int(e), int(fl), vr, mw)
                 )
             yield pd.DataFrame(rows, columns=S.TRIPLE_FIELDS)
 
@@ -480,6 +508,7 @@ def scan_ranges(
     path: str,
     split_size: int = 128 << 20,
     validate_records: int = 4,
+    max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
 ) -> DataFrame:
     """Coverage diagnostic for read_binary_split: one row per range —
     (path, start, end, first_boundary, parse_end, n_records)."""
@@ -501,7 +530,7 @@ def scan_ranges(
     ranges_df = spark.createDataFrame(
         ranges, "path string, start long, end long, flen long"
     ).repartition(len(ranges))
-    vr = validate_records
+    vr, mw = validate_records, max_word_bytes
 
     def _scan(it: Iterator) -> Iterator:
         import pandas as pd
@@ -511,10 +540,11 @@ def scan_ranges(
             for p, s, e, fl in zip(
                 pdf["path"], pdf["start"], pdf["end"], pdf["flen"]
             ):
-                rows, first, pend = _scan_file_range(
-                    p, int(s), int(e), int(fl), vr, tolerant=True
+                _, first, pend, n = _scan_file_range(
+                    p, int(s), int(e), int(fl), vr,
+                    tolerant=True, max_word=mw, keep_rows=False,
                 )
-                out.append((p, int(s), int(e), first, pend, len(rows)))
+                out.append((p, int(s), int(e), first, pend, n))
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -531,6 +561,7 @@ def verify_binary_coverage(
     path: str,
     split_size: int = 128 << 20,
     validate_records: int = 4,
+    max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
 ) -> None:
     """Prove the split decode tiles every file end-to-end: within each
     file, walking ranges in order, every found boundary must equal the
@@ -540,7 +571,9 @@ def verify_binary_coverage(
     length. Raises BinaryDecodeError on any gap (silently-undecodable
     bytes: corruption, trailing garbage, or a false resync)."""
     rows = sorted(
-        scan_ranges(spark, path, split_size, validate_records).collect(),
+        scan_ranges(
+            spark, path, split_size, validate_records, max_word_bytes
+        ).collect(),
         key=lambda r: (r["path"], r["start"]),
     )
     by_file: dict[str, list] = {}
