@@ -1105,6 +1105,81 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         TPCH_TRIPLES_SQL + "SELECT DISTINCT tkey FROM keyed",
     )
 
+    q["kg_orders_melt"] = (
+        # relational -> graph at the orders table: one order row melts
+        # to customer-edge + status + date triples (entry point C at
+        # 150k rows per sf0.1 — the wide-row melt is a Generate over
+        # the scan, no shuffle; dates formatted to a fixed lexical
+        # form on both engines)
+        lambda spark, sf: with_keys(
+            melt_df(
+                _read(spark, sf, "orders"),
+                F.concat(F.lit("order:"), F.col("o_orderkey")),
+                [
+                    MeltField(
+                        "kg:customer",
+                        F.concat(F.lit("cust:"), F.col("o_custkey")),
+                        S.KIND_RESOURCE,
+                    ),
+                    MeltField(
+                        "kg:status", F.col("o_orderstatus"), typ=S.XSD_STRING
+                    ),
+                    MeltField(
+                        "kg:orderDate",
+                        F.date_format("o_orderdate", "yyyy-MM-dd"),
+                        typ=S.XSD_STRING,
+                    ),
+                ],
+            )
+        ).select("subject", "predicate", "object_value", "tkey"),
+        """
+        SELECT 'order:' || o_orderkey AS subject,
+               'kg:customer' AS predicate,
+               'cust:' || o_custkey AS object_value,
+               '<order:' || o_orderkey || '><kg:customer><cust:'
+                 || o_custkey || '>' AS tkey
+        FROM orders
+        UNION ALL
+        SELECT 'order:' || o_orderkey, 'kg:status', o_orderstatus,
+               '<order:' || o_orderkey || '><kg:status>"'
+                 || o_orderstatus || '"^^<xsd:string>'
+        FROM orders
+        UNION ALL
+        SELECT 'order:' || o_orderkey, 'kg:orderDate',
+               strftime(o_orderdate, '%Y-%m-%d'),
+               '<order:' || o_orderkey || '><kg:orderDate>"'
+                 || strftime(o_orderdate, '%Y-%m-%d') || '"^^<xsd:string>'
+        FROM orders
+        """,
+    )
+
+    q["kg_supply_graph"] = (
+        # relational -> graph over the LARGEST table: the distinct
+        # (part, supplier) pairs of 600k lineitem rows (sf0.1) become
+        # kg:suppliedBy edges — the dedup IS the one shuffle, on the
+        # narrow key pair — plus name labels from the part and
+        # supplier dimensions (scan-only melts)
+        lambda spark, sf: _kg_supply_graph(spark, sf),
+        """
+        SELECT DISTINCT 'part:' || l_partkey AS subject,
+               'kg:suppliedBy' AS predicate,
+               'supp:' || l_suppkey AS object_value,
+               '<part:' || l_partkey || '><kg:suppliedBy><supp:'
+                 || l_suppkey || '>' AS tkey
+        FROM lineitem
+        UNION ALL
+        SELECT 'supp:' || s_suppkey, 'kg:name', s_name,
+               '<supp:' || s_suppkey || '><kg:name>"' || s_name
+                 || '"^^<xsd:string>'
+        FROM supplier
+        UNION ALL
+        SELECT 'part:' || p_partkey, 'kg:name', p_name,
+               '<part:' || p_partkey || '><kg:name>"' || p_name
+                 || '"^^<xsd:string>'
+        FROM part
+        """,
+    )
+
     q["struct_melt_customer"] = (
         # F9: wide-row melt of the customer table (3 tagged fields)
         lambda spark, sf: with_keys(
@@ -1256,6 +1331,44 @@ def _corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = build_corpus(read_documents(spark, sf_dir))
     return corpus.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+
+
+def _kg_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    edges = li.select(
+        F.concat(F.lit("part:"), F.col("l_partkey")).alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit("kg:suppliedBy").alias("predicate"),
+        F.lit(S.KIND_RESOURCE).alias("object_kind"),
+        F.concat(F.lit("supp:"), F.col("l_suppkey")).alias("object_value"),
+        F.lit("").alias("object_type"),
+        F.lit("").alias("object_lang"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supp:"), F.col("s_suppkey")).alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit("kg:name").alias("predicate"),
+        F.lit(S.KIND_LITERAL).alias("object_kind"),
+        F.col("s_name").alias("object_value"),
+        F.lit(S.XSD_STRING).alias("object_type"),
+        F.lit("").alias("object_lang"),
+    )
+    parts = _read(spark, sf_dir, "part").select(
+        F.concat(F.lit("part:"), F.col("p_partkey")).alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit("kg:name").alias("predicate"),
+        F.lit(S.KIND_LITERAL).alias("object_kind"),
+        F.col("p_name").alias("object_value"),
+        F.lit(S.XSD_STRING).alias("object_type"),
+        F.lit("").alias("object_lang"),
+    )
+    return with_keys(edges.unionByName(supp).unionByName(parts)).select(
+        "subject", "predicate", "object_value", "tkey"
     )
 
 
