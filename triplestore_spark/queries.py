@@ -1340,32 +1340,26 @@ def _kg_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
-    edges = li.select(
-        F.concat(F.lit("part:"), F.col("l_partkey")).alias("subject"),
-        F.lit(False).alias("subject_is_bnode"),
-        F.lit("kg:suppliedBy").alias("predicate"),
-        F.lit(S.KIND_RESOURCE).alias("object_kind"),
-        F.concat(F.lit("supp:"), F.col("l_suppkey")).alias("object_value"),
-        F.lit("").alias("object_type"),
-        F.lit("").alias("object_lang"),
+    edges = melt_df(
+        li,
+        F.concat(F.lit("part:"), F.col("l_partkey")),
+        [
+            MeltField(
+                "kg:suppliedBy",
+                F.concat(F.lit("supp:"), F.col("l_suppkey")),
+                S.KIND_RESOURCE,
+            )
+        ],
     )
-    supp = _read(spark, sf_dir, "supplier").select(
-        F.concat(F.lit("supp:"), F.col("s_suppkey")).alias("subject"),
-        F.lit(False).alias("subject_is_bnode"),
-        F.lit("kg:name").alias("predicate"),
-        F.lit(S.KIND_LITERAL).alias("object_kind"),
-        F.col("s_name").alias("object_value"),
-        F.lit(S.XSD_STRING).alias("object_type"),
-        F.lit("").alias("object_lang"),
+    supp = melt_df(
+        _read(spark, sf_dir, "supplier"),
+        F.concat(F.lit("supp:"), F.col("s_suppkey")),
+        [MeltField("kg:name", F.col("s_name"), typ=S.XSD_STRING)],
     )
-    parts = _read(spark, sf_dir, "part").select(
-        F.concat(F.lit("part:"), F.col("p_partkey")).alias("subject"),
-        F.lit(False).alias("subject_is_bnode"),
-        F.lit("kg:name").alias("predicate"),
-        F.lit(S.KIND_LITERAL).alias("object_kind"),
-        F.col("p_name").alias("object_value"),
-        F.lit(S.XSD_STRING).alias("object_type"),
-        F.lit("").alias("object_lang"),
+    parts = melt_df(
+        _read(spark, sf_dir, "part"),
+        F.concat(F.lit("part:"), F.col("p_partkey")),
+        [MeltField("kg:name", F.col("p_name"), typ=S.XSD_STRING)],
     )
     return with_keys(edges.unionByName(supp).unionByName(parts)).select(
         "subject", "predicate", "object_value", "tkey"
