@@ -422,3 +422,54 @@ def test_binary_split_lenient_bool_at_range_boundary(spark, tmp_path):
         )
         assert got == want, f"split_size={split} lost records"
     verify_binary_coverage(spark, str(d), split_size=64)
+
+
+def test_binary_split_false_resync_falls_back_exact(spark, tmp_path):
+    """Fuzz-found case: ASCII-heavy tiny records let a misaligned
+    parse bridge into the true chain and pass chained validation (no
+    sync marker exists to prevent it). The coverage pre-check must
+    detect the overlap and read_binary_split must fall back to the
+    exact sequential decode — identical output to read_binary."""
+    import random
+
+    from triplestore_spark.sources.binary import (
+        BinaryDecodeError,
+        encode_triple_bytes,
+        read_binary,
+        read_binary_split,
+        verify_binary_coverage,
+    )
+
+    rng = random.Random(11)
+    blob = b""
+    # regenerate fuzz trial 17 (seed 11): 17 corpora drawn first
+    for trial in range(18):
+        recs = []
+        for i in range(rng.randint(1, 40)):
+            kind = rng.choice(["res", "lit", "bnode"])
+            val = "".join(
+                rng.choice('ab .#<>"\n\r xyz')
+                for _ in range(rng.randint(0, 30))
+            )
+            typ = "xsd:string" if kind == "lit" else ""
+            recs.append(
+                encode_triple_bytes(
+                    (f"s{i}", rng.random() < 0.5, "p", kind, val, typ, "")
+                )
+            )
+        blob = b"".join(recs)
+        rng.randint(8, max(9, len(blob) // 3))
+    d = tmp_path / "adv"
+    d.mkdir()
+    (d / "f.bin").write_bytes(blob)
+
+    # the resync chain really is inconsistent on this file at split 27
+    with pytest.raises(BinaryDecodeError):
+        verify_binary_coverage(spark, str(d), split_size=27)
+
+    got = sorted(
+        tuple(r)
+        for r in read_binary_split(spark, str(d), split_size=27).collect()
+    )
+    want = sorted(tuple(r) for r in read_binary(spark, str(d)).collect())
+    assert got == want

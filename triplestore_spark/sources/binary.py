@@ -443,6 +443,7 @@ def read_binary_split(
     split_size: int = 128 << 20,
     validate_records: int = 4,
     max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
+    verify_coverage: bool = True,
 ) -> DataFrame:
     """Record-boundary-splitting binary reader: ONE large .bin file
     parallelizes across tasks (read_binary's one-task-per-file cap —
@@ -474,7 +475,28 @@ def read_binary_split(
       uncapped. A legitimate record with a word beyond the cap that
       sits exactly at a range start would be skipped by resync — raise
       max_word_bytes for such data; verify_binary_coverage detects the
-      gap either way."""
+      gap either way.
+    - With no sync marker, a resync can in principle lock onto a FALSE
+      boundary whose misaligned first "record" bridges into the true
+      record chain (adversarial/ASCII-heavy payloads; found by fuzzing
+      — real corpora with IRI-sized words make this astronomically
+      unlikely, but not impossible). `verify_coverage=True` (default)
+      therefore first proves the per-range chains tile each file with
+      no gap or overlap — a metadata-only parallel pass — and on any
+      inconsistency falls back to the sequential per-file reader,
+      which is exact by construction (and raises on genuinely corrupt
+      data). Set verify_coverage=False to skip the extra read on
+      trusted corpora."""
+    if verify_coverage:
+        try:
+            verify_binary_coverage(
+                spark, path, split_size, validate_records, max_word_bytes
+            )
+        except BinaryDecodeError:
+            # chain inconsistency: resync is not trustworthy on this
+            # data — decode exactly (one task per file); truly corrupt
+            # input then fails loudly there
+            return read_binary(spark, path)
     ranges = _list_ranges(spark, path, split_size)
     if not ranges:
         return with_keys(
