@@ -444,6 +444,35 @@ def test_nearest_centroid_expr_udf_parity(spark, emb):
     assert mismatched == 0
 
 
+def test_nearest_centroid_zero_vector_parity(spark):
+    """ADVICE r3: a zero-norm embedding must assign to cluster 0 (all
+    scores clamp to 0.0, first-max wins) on BOTH paths — the Catalyst
+    expression used to emit null (divide-by-zero) while the Arrow path
+    returned 0, so crossing CENTROID_EXPR_MAX_TERMS changed output."""
+    from triplestore_spark.operators.similarity import (
+        _nearest_centroid_expr,
+        _nearest_centroid_udf,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 1.0]), (2, [0.0, 3.0])],
+        "vec_id int, embedding array<double>",
+    )
+    vec = F.col("embedding").cast("array<double>")
+    rows = {
+        r["vec_id"]: (r["a"], r["b"])
+        for r in df.select(
+            "vec_id",
+            _nearest_centroid_expr(vec, cents).alias("a"),
+            _nearest_centroid_udf(cents)(vec).alias("b"),
+        ).collect()
+    }
+    assert rows[0] == (0, 0)  # zero vector: not null, first centroid
+    assert rows[1] == (0, 0)
+    assert rows[2] == (1, 1)
+
+
 def test_nearest_centroid_dispatch_threshold():
     """nearest_centroid_col switches to the UDF path past
     CENTROID_EXPR_MAX_TERMS and stays Catalyst below it."""

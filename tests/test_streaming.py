@@ -252,3 +252,107 @@ def test_merge_scan_is_partition_pruned_metrics(spark, tmp_path):
     )
     assert num_files == bucket_files
     assert num_files < total_files
+
+
+def test_live_compaction_lock_defers_recovery(spark, tmp_path):
+    """ADVICE r3: while a compactor holds the lock, recover_sink must
+    NOT delete its ._compacting output or rename ._old buckets back —
+    that's a live swap, not crash state. Once the lock goes stale (or
+    is released), the same call self-heals as before."""
+    import shutil
+
+    from triplestore_spark.streaming.ingest import (
+        _LOCK_SUFFIX,
+        recover_sink,
+    )
+
+    path = str(tmp_path / "sink.parquet")
+    merge_batch_into_sink(_batch(spark, range(50)), path, n_buckets=8)
+    before = {r["tkey"] for r in spark.read.parquet(path).select("tkey").collect()}
+
+    # mid-swap snapshot made by a LIVE compactor (lock held)
+    buckets = sorted(glob.glob(os.path.join(path, f"{_BUCKET}=*")))
+    victim = buckets[0]
+    old_dir = path + "._old"
+    os.makedirs(old_dir, exist_ok=True)
+    shutil.move(victim, os.path.join(old_dir, os.path.basename(victim)))
+    os.makedirs(path + "._compacting", exist_ok=True)
+    lock = path + _LOCK_SUFFIX
+    open(lock, "w").close()
+
+    assert not recover_sink(spark, path)  # deferred, nothing touched
+    assert os.path.exists(path + "._old")
+    assert os.path.exists(path + "._compacting")
+    assert os.path.exists(lock)
+
+    # lease expiry: backdate the lock -> the compactor is presumed dead
+    os.utime(lock, (0, 0))
+    assert recover_sink(spark, path)
+    after = {r["tkey"] for r in spark.read.parquet(path).select("tkey").collect()}
+    assert after == before
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._compacting")
+    assert not os.path.exists(lock)
+
+
+def test_second_compactor_refuses_live_lock(spark, tmp_path):
+    """Two concurrent compactors on one sink is the corruption the lock
+    exists to prevent — the late one must stop, and the sink must stay
+    readable and compactable after the first lock expires."""
+    import pytest as _pytest
+
+    from triplestore_spark.streaming.ingest import _LOCK_SUFFIX
+
+    table_dir = str(tmp_path / "t")
+    path = os.path.join(table_dir, "triples.parquet")
+    merge_batch_into_sink(_batch(spark, range(40)), path, n_buckets=8)
+
+    lock = path + _LOCK_SUFFIX
+    open(lock, "w").close()
+    with _pytest.raises(RuntimeError, match="lock"):
+        compact_sink(spark, table_dir)
+
+    os.utime(lock, (0, 0))  # expired -> next compactor reclaims
+    compact_sink(spark, table_dir)
+    assert not os.path.exists(lock)
+    assert spark.read.parquet(path).select("tkey").distinct().count() == 40
+
+
+def test_open_split_path_uri_handling(tmp_path):
+    """ADVICE r3: worker-side opens get Hadoop-FS paths verbatim —
+    file:/, file:///, percent-encoding, s3a aliasing, and a clear
+    refusal for Azure schemes and remote file authorities."""
+    import pytest as _pytest
+
+    from triplestore_spark.sources.binary import (
+        BinaryDecodeError,
+        _open_split_path,
+    )
+
+    p = tmp_path / "dir with space" / "x.bin"
+    p.parent.mkdir()
+    p.write_bytes(b"payload")
+
+    for uri in (
+        str(p),
+        "file:" + str(p),
+        "file://" + str(p),  # empty authority
+        "file://localhost" + str(p),
+        "file:" + str(p).replace("dir with space", "dir%20with%20space"),
+    ):
+        with _open_split_path(uri) as f:
+            assert f.read() == b"payload"
+
+    with _pytest.raises(BinaryDecodeError, match="authority"):
+        _open_split_path("file://otherhost/tmp/x.bin")
+    for scheme in ("abfs", "abfss", "wasb", "wasbs"):
+        with _pytest.raises(BinaryDecodeError, match=scheme):
+            _open_split_path(f"{scheme}://container@acct/path/x.bin")
+    # s3a must route through the pyarrow S3 driver (s3 scheme): the
+    # nonexistent bucket fails with an S3/AWS error, NOT an unknown-
+    # scheme error from from_uri
+    try:
+        _open_split_path("s3a://no-such-bucket-xyz/k.bin")
+        raise AssertionError("expected S3 open to fail")
+    except Exception as e:  # noqa: BLE001 - driver error type varies
+        assert "s3a" not in str(e).lower()

@@ -40,6 +40,21 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _norm_zero_safe(a: Column) -> Column:
+    # Spark's Divide returns null on a 0 divisor; clamp zero norms to
+    # 1.0 so a zero vector scores 0.0 against every centroid — the same
+    # convention the Arrow matmul path applies (vn[vn == 0] = 1.0).
+    n = _norm(a)
+    return F.when(n == F.lit(0.0), F.lit(1.0)).otherwise(n)
+
+
+def cosine_zero_safe_expr(a: Column, b: Column) -> Column:
+    """cosine_expr with zero-norm inputs scoring 0.0 instead of null —
+    keeps the Catalyst centroid assigner's output (incl. nullability)
+    identical to the Arrow path across CENTROID_EXPR_MAX_TERMS."""
+    return _dot(a, b) / (_norm_zero_safe(a) * _norm_zero_safe(b))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -197,7 +212,7 @@ def _ivf_centroids(
 def _nearest_centroid_expr(vec_d: Column, c_list: list[list[float]]) -> Column:
     scores = F.array(
         *[
-            cosine_expr(vec_d, F.array(*[F.lit(float(x)) for x in c]))
+            cosine_zero_safe_expr(vec_d, F.array(*[F.lit(float(x)) for x in c]))
             for c in c_list
         ]
     )

@@ -334,6 +334,44 @@ def _find_boundary(
     return None
 
 
+def _open_split_path(p: str):
+    """Worker-side open of a path taken verbatim from the Hadoop FS
+    listing — normalizes Hadoop-flavored URI spellings pyarrow doesn't
+    know (ADVICE r3: s3a://, file://host/...)."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(p)
+        # file:///x and file:/x -> /x; a non-empty authority
+        # (file://host/x) is not a local path — reject loudly instead
+        # of silently reading '/host/x'.
+        if u.netloc not in ("", "localhost"):
+            raise BinaryDecodeError(
+                f"file: URI with remote authority not supported: {p}"
+            )
+        return open(unquote(u.path), "rb")
+    if "://" in p:
+        from pyarrow import fs as pafs
+
+        scheme, rest = p.split("://", 1)
+        # Hadoop scheme spellings -> pyarrow's: s3a/s3n are the Hadoop
+        # S3 connectors (pyarrow speaks 's3'); abfs/wasb (Azure) and
+        # kin get a clear error naming the scheme rather than a
+        # from_uri stack trace.
+        alias = {"s3a": "s3", "s3n": "s3"}
+        scheme = alias.get(scheme, scheme)
+        if scheme in ("abfs", "abfss", "wasb", "wasbs"):
+            raise BinaryDecodeError(
+                f"unsupported filesystem scheme '{scheme}' for split "
+                f"binary reads: {p} (pyarrow has no Azure FS driver; "
+                "read via read_binary's whole-file path or copy to a "
+                "supported store)"
+            )
+        f, inner = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+        return f.open_input_file(inner)
+    return open(p, "rb")
+
+
 def _scan_file_range(
     path: str,
     start: int,
@@ -355,22 +393,9 @@ def _scan_file_range(
     whole-file reader. keep_rows=False counts records without
     materializing them (the diagnostic path)."""
 
-    def _open(p: str):
-        if p.startswith("file:"):
-            local = p[len("file:") :]
-            while local.startswith("//"):
-                local = local[1:]
-            return open(local, "rb")
-        if "://" in p:
-            from pyarrow import fs as pafs
-
-            f, inner = pafs.FileSystem.from_uri(p)
-            return f.open_input_file(inner)
-        return open(p, "rb")
-
     rows: list[tuple] = []
     n = 0
-    with _open(path) as f:
+    with _open_split_path(path) as f:
         w = _FileWindow(f, flen)
         o = _find_boundary(w, start, end, flen, validate_records, max_word)
         if o is None:

@@ -37,6 +37,14 @@ DEFAULT_BUCKETS = 64
 _BUCKET = "tkey_bucket"
 _OLD_SUFFIX = "._old"
 _TMP_SUFFIX = "._compacting"
+_LOCK_SUFFIX = "._compacting_lock"
+# How long a compaction lock is honored before it is presumed crashed
+# (ADVICE r3: recover_sink must not repair over a LIVE compaction —
+# deleting its ._compacting output mid-write or renaming ._old buckets
+# back during the swap corrupts it). A compactor that dies leaves its
+# lock behind; after the lease expires the next merge/compact treats
+# the leftovers as crash state and self-heals as before.
+COMPACTION_LOCK_LEASE_MS = 60 * 60 * 1000
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -163,11 +171,37 @@ def _bucket_dirs(fs, jpath) -> list[str]:
     )
 
 
-def recover_sink(spark: SparkSession, data_path: str) -> bool:
+def _lock_is_live(fs, lock, lease_ms: int) -> bool:
+    """True if a compaction lock exists and is younger than its lease
+    (FS modification time — same clock domain as the lock writer on
+    HDFS; document skew if compactors run off-cluster)."""
+    import time
+
+    if not fs.exists(lock):
+        return False
+    age_ms = int(time.time() * 1000) - fs.getFileStatus(
+        lock
+    ).getModificationTime()
+    return age_ms < lease_ms
+
+
+def recover_sink(
+    spark: SparkSession,
+    data_path: str,
+    lock_lease_ms: int = COMPACTION_LOCK_LEASE_MS,
+    _force: bool = False,
+) -> bool:
     """Repair leftover ._old / ._compacting state from a compaction
     that crashed mid-swap. Called on entry by both merge and compact,
     so the sink self-heals on the next touch. Returns True if any
     repair action was taken.
+
+    Concurrency: if a live compaction lock is present (compact_sink
+    holds it for the whole rewrite+swap), repair is SKIPPED — the
+    leftovers belong to a running compactor, not a crashed one
+    (ADVICE r3). A crashed compactor's lock expires after
+    lock_lease_ms and the next touch repairs as before. compact_sink
+    passes _force=True because it recovers while holding its own lock.
 
     Invariants this restores: every bucket partition present in ._old
     but missing from the live path is renamed back (the crash window
@@ -177,6 +211,10 @@ def recover_sink(spark: SparkSession, data_path: str) -> bool:
     directory is discarded (its contents are a derived rewrite — the
     next compaction regenerates them)."""
     fs, data = _hadoop_fs(spark, data_path)
+    if not _force and _lock_is_live(
+        fs, _jpath(spark, data_path + _LOCK_SUFFIX), lock_lease_ms
+    ):
+        return False
     old = _jpath(spark, data_path + _OLD_SUFFIX)
     tmp = _jpath(spark, data_path + _TMP_SUFFIX)
     acted = False
@@ -196,6 +234,11 @@ def recover_sink(spark: SparkSession, data_path: str) -> bool:
         acted = True
     if fs.exists(tmp):
         fs.delete(tmp, True)
+        acted = True
+    stale_lock = _jpath(spark, data_path + _LOCK_SUFFIX)
+    if not _force and fs.exists(stale_lock):
+        # past the live-check above, so the lock is expired: clear it
+        fs.delete(stale_lock, False)
         acted = True
     return acted
 
@@ -226,24 +269,47 @@ def compact_sink(
     data_path = os.path.join(table_dir, "triples.parquet")
     tmp_path = data_path + _TMP_SUFFIX
     old_path = data_path + _OLD_SUFFIX
-    recover_sink(spark, data_path)
-
     fs, data = _hadoop_fs(spark, data_path)
-    n_buckets = len(_bucket_dirs(fs, data)) or DEFAULT_BUCKETS
-    df = spark.read.parquet(data_path)
-    (
-        df.repartition(files_per_bucket * n_buckets, F.col(_BUCKET))
-        .write.mode("overwrite")
-        .partitionBy(_BUCKET)
-        .parquet(tmp_path)
-    )
-    tmp = _jpath(spark, tmp_path)
-    old = _jpath(spark, old_path)
-    fs.mkdirs(old)
-    for name in _bucket_dirs(fs, tmp):
-        live = _jpath(spark, data_path + "/" + name)
-        if fs.exists(live):
-            _rename_or_raise(fs, live, _jpath(spark, old_path + "/" + name))
-        _rename_or_raise(fs, _jpath(spark, tmp_path + "/" + name), live)
-    fs.delete(old, True)
-    fs.delete(tmp, True)
+
+    # Take the compaction lock FIRST: while it is live, concurrent
+    # recover_sink calls (every merge batch runs one) leave our
+    # ._compacting output and mid-swap ._old buckets alone. createNewFile
+    # is the atomic claim — a second compactor gets False and stops.
+    lock = _jpath(spark, data_path + _LOCK_SUFFIX)
+    if _lock_is_live(fs, lock, COMPACTION_LOCK_LEASE_MS):
+        raise RuntimeError(
+            f"another compaction holds the lock {data_path + _LOCK_SUFFIX}; "
+            "refusing to run two compactors on one sink"
+        )
+    fs.delete(lock, False)  # clear an expired lock before re-claiming
+    if not fs.createNewFile(lock):
+        raise RuntimeError(
+            f"lost the race for compaction lock {data_path + _LOCK_SUFFIX}"
+        )
+    try:
+        recover_sink(spark, data_path, _force=True)
+        n_buckets = len(_bucket_dirs(fs, data)) or DEFAULT_BUCKETS
+        df = spark.read.parquet(data_path)
+        (
+            df.repartition(files_per_bucket * n_buckets, F.col(_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(tmp_path)
+        )
+        tmp = _jpath(spark, tmp_path)
+        old = _jpath(spark, old_path)
+        fs.mkdirs(old)
+        for name in _bucket_dirs(fs, tmp):
+            live = _jpath(spark, data_path + "/" + name)
+            if fs.exists(live):
+                _rename_or_raise(
+                    fs, live, _jpath(spark, old_path + "/" + name)
+                )
+            _rename_or_raise(fs, _jpath(spark, tmp_path + "/" + name), live)
+        fs.delete(old, True)
+        fs.delete(tmp, True)
+    finally:
+        # released even on failure: if we died before the swap the sink
+        # is untouched; if mid-swap, the next recover_sink self-heals
+        # immediately instead of waiting out the lease
+        fs.delete(lock, False)
