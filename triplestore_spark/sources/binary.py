@@ -23,6 +23,7 @@ sink for scale.
 
 from __future__ import annotations
 
+import json
 import struct
 from typing import Iterator, Optional
 
@@ -430,16 +431,13 @@ def _decode_file_range(
     )[0]
 
 
-def _list_ranges(
-    spark: SparkSession, path: str, split_size: int
-) -> list[tuple[str, int, int, int]]:
-    """(path, start, end, file_length) ranges of `split_size` bytes
-    over every data file under `path` (Hadoop FS listing — dir, glob,
-    or single file)."""
+def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
+    """(path, length, mtime_ms) of every data file under `path`
+    (Hadoop FS listing — dir, glob, or single file)."""
     from triplestore_spark.streaming.ingest import _hadoop_fs
 
     fs, jpath = _hadoop_fs(spark, path)
-    files: list[tuple[str, int]] = []
+    files: list[tuple[str, int, int]] = []
 
     def _add(status):
         if status.isDirectory():
@@ -448,18 +446,104 @@ def _list_ranges(
         else:
             name = status.getPath().getName()
             if not name.startswith(("_", ".")):
-                files.append((status.getPath().toString(), status.getLen()))
+                files.append(
+                    (
+                        status.getPath().toString(),
+                        status.getLen(),
+                        status.getModificationTime(),
+                    )
+                )
 
     for st in fs.globStatus(jpath) or []:
         _add(st)
+    return sorted(files)
 
+
+def _list_ranges(
+    spark: SparkSession,
+    path: str,
+    split_size: int,
+    files: Optional[list[tuple[str, int, int]]] = None,
+) -> list[tuple[str, int, int, int]]:
+    """(path, start, end, file_length) ranges of `split_size` bytes
+    over the given files (default: every data file under `path`)."""
+    if files is None:
+        files = _list_files(spark, path)
     ranges = []
-    for p, flen in sorted(files):
+    for p, flen, _mtime in files:
         start = 0
         while start < flen:
             ranges.append((p, start, min(start + split_size, flen), flen))
             start += split_size
     return ranges
+
+
+COVERAGE_MANIFEST_NAME = "_split_coverage.json"
+
+
+def _manifest_location(spark: SparkSession, path: str) -> str:
+    """Where the coverage manifest for `path` lives: inside the
+    directory being read, or next to a single file / glob. The name
+    starts with '_' so _list_files never treats it as data."""
+    from triplestore_spark.streaming.ingest import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, path)
+    try:
+        if fs.getFileStatus(jpath).isDirectory():
+            return path.rstrip("/") + "/" + COVERAGE_MANIFEST_NAME
+    except Exception:  # noqa: BLE001 - glob patterns have no status
+        pass
+    parent = jpath.getParent()
+    if parent is None:
+        return COVERAGE_MANIFEST_NAME
+    return parent.toString() + "/" + COVERAGE_MANIFEST_NAME
+
+
+def _coverage_key(split_size: int, validate_records: int, max_word: int) -> str:
+    # the proof is specific to the range decomposition and validation
+    # parameters — a different split size re-verifies
+    return f"s{split_size}.v{validate_records}.w{max_word}"
+
+
+def _load_coverage_manifest(spark: SparkSession, loc: str) -> dict:
+    from triplestore_spark.streaming.ingest import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, loc)
+    try:
+        if not fs.exists(jpath):
+            return {}
+        stream = fs.open(jpath)
+        try:
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        doc = json.loads(text)
+        return doc if isinstance(doc, dict) else {}
+    except Exception:  # noqa: BLE001 - a broken manifest just re-verifies
+        return {}
+
+
+def _save_coverage_manifest(spark: SparkSession, loc: str, doc: dict) -> None:
+    """Best-effort atomic write (tmp + rename). Read-only stores simply
+    don't amortize — verification already succeeded this run."""
+    from triplestore_spark.streaming.ingest import _hadoop_fs
+
+    try:
+        tmp = loc + ".tmp"
+        fs, jtmp = _hadoop_fs(spark, tmp)
+        out = fs.create(jtmp, True)
+        try:
+            out.write(bytearray(json.dumps(doc, sort_keys=True).encode()))
+        finally:
+            out.close()
+        jloc = _hadoop_fs(spark, loc)[1]
+        fs.delete(jloc, False)
+        if not fs.rename(jtmp, jloc):
+            fs.delete(jtmp, False)
+    except Exception:  # noqa: BLE001 - amortization is optional
+        pass
 
 
 def read_binary_split(
@@ -511,18 +595,45 @@ def read_binary_split(
       inconsistency falls back to the sequential per-file reader,
       which is exact by construction (and raises on genuinely corrupt
       data). Set verify_coverage=False to skip the extra read on
-      trusted corpora."""
-    if verify_coverage:
-        try:
-            verify_binary_coverage(
-                spark, path, split_size, validate_records, max_word_bytes
-            )
-        except BinaryDecodeError:
-            # chain inconsistency: resync is not trustworthy on this
-            # data — decode exactly (one task per file); truly corrupt
-            # input then fails loudly there
-            return read_binary(spark, path)
-    ranges = _list_ranges(spark, path, split_size)
+      trusted corpora.
+    - The proof is AMORTIZED per immutable file (VERDICT r3 #2): a
+      passing verification records (length, mtime, split params) per
+      file in a _split_coverage.json manifest next to the data, and
+      later reads re-verify only files that are new or changed —
+      steady-state re-reads of an immutable corpus cost zero extra
+      scan instead of 2x IO. The manifest write is best-effort
+      (read-only stores just re-verify each run); a stale/broken
+      manifest re-verifies. Delete the manifest to force a full
+      re-proof."""
+    files = _list_files(spark, path)
+    if verify_coverage and files:
+        ckey = _coverage_key(split_size, validate_records, max_word_bytes)
+        loc = _manifest_location(spark, path)
+        manifest = _load_coverage_manifest(spark, loc)
+        unverified = [
+            (p, flen, mtime)
+            for (p, flen, mtime) in files
+            if manifest.get(p) != {"len": flen, "mtime": mtime, "key": ckey}
+        ]
+        if unverified:
+            try:
+                verify_binary_coverage(
+                    spark,
+                    path,
+                    split_size,
+                    validate_records,
+                    max_word_bytes,
+                    files=unverified,
+                )
+            except BinaryDecodeError:
+                # chain inconsistency: resync is not trustworthy on
+                # this data — decode exactly (one task per file);
+                # truly corrupt input then fails loudly there
+                return read_binary(spark, path)
+            for p, flen, mtime in unverified:
+                manifest[p] = {"len": flen, "mtime": mtime, "key": ckey}
+            _save_coverage_manifest(spark, loc, manifest)
+    ranges = _list_ranges(spark, path, split_size, files=files)
     if not ranges:
         return with_keys(
             spark.createDataFrame([], S.TRIPLE_SCHEMA)
@@ -556,12 +667,15 @@ def scan_ranges(
     split_size: int = 128 << 20,
     validate_records: int = 4,
     max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
+    files: Optional[list[tuple[str, int, int]]] = None,
 ) -> DataFrame:
     """Coverage diagnostic for read_binary_split: one row per range —
-    (path, start, end, first_boundary, parse_end, n_records)."""
+    (path, start, end, first_boundary, parse_end, n_records).
+    `files` restricts the scan to a subset of (path, len, mtime)
+    entries (the manifest-amortized verify pass)."""
     from pyspark.sql import types as T
 
-    ranges = _list_ranges(spark, path, split_size)
+    ranges = _list_ranges(spark, path, split_size, files=files)
     schema = T.StructType(
         [
             T.StructField("path", T.StringType()),
@@ -609,6 +723,7 @@ def verify_binary_coverage(
     split_size: int = 128 << 20,
     validate_records: int = 4,
     max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
+    files: Optional[list[tuple[str, int, int]]] = None,
 ) -> None:
     """Prove the split decode tiles every file end-to-end: within each
     file, walking ranges in order, every found boundary must equal the
@@ -616,10 +731,13 @@ def verify_binary_coverage(
     with no boundary must be interior to a record its predecessor
     followed through), and the final parse_end must be the file
     length. Raises BinaryDecodeError on any gap (silently-undecodable
-    bytes: corruption, trailing garbage, or a false resync)."""
+    bytes: corruption, trailing garbage, or a false resync).
+    `files` restricts the proof to a subset of (path, len, mtime)
+    entries — read_binary_split passes only not-yet-proven files."""
     rows = sorted(
         scan_ranges(
-            spark, path, split_size, validate_records, max_word_bytes
+            spark, path, split_size, validate_records, max_word_bytes,
+            files=files,
         ).collect(),
         key=lambda r: (r["path"], r["start"]),
     )
