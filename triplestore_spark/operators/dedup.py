@@ -221,9 +221,20 @@ def connected_components(
     near-dup clusters at corpus scale) the result is NOT a valid
     clustering; `on_nonconverged` controls whether that raises
     ConvergenceError (default) or warns and returns the partial
-    labels ("warn")."""
+    labels ("warn").
+
+    Job-count discipline (VERDICT r3 #3): propagation rounds are LAZY
+    — only every `checkpoint_every`-th round materializes (one
+    localCheckpoint job) and probes convergence (one limit(1) join
+    job) against the labels at the previous probe. Labels are
+    monotonically non-increasing per node, so an unchanged window
+    proves every intermediate round was also a no-op — a fixed point,
+    with no separate confirming pass. The old design paid the probe
+    plus a driver round-trip EVERY round; at sf0.1 that driver churn,
+    not data volume, dominated dedup_clusters' runtime."""
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"on_nonconverged={on_nonconverged!r}")
+    checkpoint_every = max(1, checkpoint_every)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -236,9 +247,9 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     edges = edges.localCheckpoint()
-    changed = 0
+    labels = labels.localCheckpoint()
 
-    def step(labels, checkpoint: bool):
+    def step(labels):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -249,34 +260,48 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nl").alias("nbr_label"))
         )
-        new_labels = labels.join(nbr_min, on="node", how="left").select(
+        return labels.join(nbr_min, on="node", how="left").select(
             "node",
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
         )
-        if checkpoint:
-            new_labels = new_labels.localCheckpoint()
-        changed = (
+
+    def probe(new_labels, old_labels) -> int:
+        return (
             new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
+            .join(old_labels.alias("o"), on="node")
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        return new_labels, changed
 
-    for i in range(max_iter):
-        labels, changed = step(labels, (i + 1) % checkpoint_every == 0)
-        if changed == 0:
-            break
-    if changed != 0:
-        # the last counted iteration DID move labels, but it may have
-        # been the finishing move (a component of diameter == max_iter)
-        # — one confirming pass distinguishes 'just converged' from
-        # 'still propagating' before failing the pipeline
-        labels, changed = step(labels, True)
-    if changed != 0:
+    at_last_probe = labels
+    converged = False
+    rounds_since_probe = 0
+    for _i in range(max_iter):
+        labels = step(labels)
+        rounds_since_probe += 1
+        if rounds_since_probe == checkpoint_every:
+            labels = labels.localCheckpoint()
+            if probe(labels, at_last_probe) == 0:
+                converged = True
+                break
+            at_last_probe = labels
+            rounds_since_probe = 0
+    if not converged and rounds_since_probe:
+        # tail window shorter than checkpoint_every (max_iter not a
+        # multiple): materialize and probe it too
+        labels = labels.localCheckpoint()
+        converged = probe(labels, at_last_probe) == 0
+    if not converged:
+        # max_iter's window DID move labels, but the finishing move may
+        # have been the window's last round — one confirming pass
+        # distinguishes 'just converged' from 'still propagating'
+        new_labels = step(labels).localCheckpoint()
+        converged = probe(new_labels, labels) == 0
+        labels = new_labels
+    if not converged:
         msg = (
             f"connected_components did not converge in {max_iter} "
             "iterations — a component's diameter exceeds max_iter and "
