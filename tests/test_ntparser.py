@@ -107,3 +107,101 @@ def test_invalid_lines():
 def test_blank_and_comment_lines_skipped():
     assert parse_nt_line("   ") is None
     assert parse_nt_line("# comment") is None
+
+
+# ---------------------------------------------------------------------------
+# adversarial quarantine corpus (VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+_CORPUS_PATH = __file__.rsplit("/", 1)[0] + "/fixtures/nt_quarantine_corpus.nt"
+
+
+def _corpus_lines():
+    with open(_CORPUS_PATH) as f:
+        return [line.rstrip("\n") for line in f]
+
+
+def _reference_partition():
+    """Per-line verdict of the reference state machine: (accepted
+    triples multiset, rejected line list) over the pruned corpus."""
+    good, bad = [], []
+    for line in _corpus_lines():
+        t = line.lstrip(" \t")
+        if not t or t.startswith("#"):
+            continue
+        try:
+            row = parse_nt_line(t)
+        except NTParseError:
+            bad.append(line)
+            continue
+        if row is not None:
+            good.append(row)
+    return good, bad
+
+
+def test_quarantine_corpus_is_adversarial():
+    """The checked-in corpus must keep exercising BOTH sides — seeded
+    quote/escape/whitespace mutations (reference anchor:
+    ntparser_test.go error cases + the fuzz/ntriples corpus)."""
+    good, bad = _reference_partition()
+    assert len(good) >= 100 and len(bad) >= 60, (len(good), len(bad))
+
+
+def test_quarantine_partitions_exactly_like_reference(spark):
+    """PERMISSIVE never drops a parseable line and never passes a
+    rejected one: decode_lines_quarantine's (good, bad) split over the
+    adversarial corpus equals the reference state machine's per-line
+    verdicts, line for line."""
+    from triplestore_spark.sources.ntriples import decode_lines_quarantine
+
+    lines = spark.createDataFrame(
+        [(line, "corpus.nt") for line in _corpus_lines()], "value string, src string"
+    )
+    good_df, bad_df = decode_lines_quarantine(lines, file_col="src")
+    ref_good, ref_bad = _reference_partition()
+
+    got_good = sorted(
+        tuple(r) for r in good_df.select(
+            "subject", "subject_is_bnode", "predicate", "object_kind",
+            "object_value", "object_type", "object_lang",
+        ).collect()
+    )
+    assert got_good == sorted(ref_good)
+
+    bad_rows = bad_df.collect()
+    assert sorted(r["line"] for r in bad_rows) == sorted(ref_bad)
+    assert all(r["error"] for r in bad_rows)
+    assert all(r["source_file"] == "corpus.nt" for r in bad_rows)
+
+
+def test_quarantine_permissive_decode_agrees(spark):
+    """decode_lines_df(PERMISSIVE) — the vectorized path with state-
+    machine fallback — must keep exactly the quarantine's good set."""
+    from triplestore_spark.sources.ntriples import decode_lines_df
+
+    lines = spark.createDataFrame(
+        [(line,) for line in _corpus_lines()], "value string"
+    )
+    got = sorted(
+        tuple(r) for r in decode_lines_df(lines, mode="PERMISSIVE").select(
+            "subject", "subject_is_bnode", "predicate", "object_kind",
+            "object_value", "object_type", "object_lang",
+        ).collect()
+    )
+    ref_good, _ = _reference_partition()
+    assert got == sorted(ref_good)
+
+
+def test_quarantine_failfast_names_offender(spark):
+    """FAILFAST over the corpus must surface the offending line text
+    AND its source file in the error (decode.go:258-279 wrapping)."""
+    from triplestore_spark.sources.ntriples import decode_lines_df
+
+    lines = spark.createDataFrame(
+        [(line, "adversarial_corpus.nt") for line in _corpus_lines()],
+        "value string, src string",
+    )
+    with pytest.raises(Exception) as exc:
+        decode_lines_df(lines, mode="FAILFAST", file_col="src").collect()
+    msg = str(exc.value)
+    assert "in line" in msg and "adversarial_corpus.nt" in msg
