@@ -86,3 +86,38 @@ def test_cli_auto_detect(nt_file, tmp_path, capsys):
     main(["-in", "auto", "-out", "ntriples", "-files", str(nt_file)])
     out = capsys.readouterr().out
     assert "<s> <p> <o> ." in out
+
+def test_dist_zip_matches_source_tree():
+    """ADVICE r3 (medium): a stale dist/triplestore_spark.zip ships
+    outdated code to spark-submit deployments. The committed artifact
+    must contain exactly the current package sources, byte for byte —
+    rebuild with `python tools/package.py` after any package change."""
+    import io
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(repo, "dist", "triplestore_spark.zip")
+    assert os.path.exists(zpath), "dist artifact missing; run tools/package.py"
+
+    tree = {}
+    pkg = os.path.join(repo, "triplestore_spark")
+    for root, _dirs, files in os.walk(pkg):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                with open(full, "rb") as fh:
+                    tree[os.path.relpath(full, repo)] = fh.read()
+
+    with zipfile.ZipFile(zpath) as z:
+        zipped = {n: z.read(n) for n in z.namelist() if n.endswith(".py")}
+
+    assert set(zipped) == set(tree), (
+        "zip/tree file sets differ: "
+        f"only-in-zip={sorted(set(zipped) - set(tree))} "
+        f"only-in-tree={sorted(set(tree) - set(zipped))}"
+    )
+    stale = [n for n in tree if zipped[n] != tree[n]]
+    assert not stale, f"stale files in dist zip (rerun tools/package.py): {stale}"

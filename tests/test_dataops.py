@@ -406,8 +406,23 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     assert again == first
 
 
-def test_multimodal_real_decode_raises(spark, sf_dir):
-    from py4j.protocol import Py4JJavaError
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pil_available(),
+    reason="Pillow IS installed here - the real-decode path activates "
+    "instead of raising (covered by test_multimodal_real_decode_with_pil)",
+)
+def test_multimodal_real_decode_names_missing_dependency(spark, sf_dir):
+    """Without Pillow the real path must fail loudly, naming the
+    missing dependency (INTEGRATION.md env gate)."""
     from triplestore_spark.operators.multimodal import (
         decode_image_features,
         synth_media_df,
@@ -418,9 +433,33 @@ def test_multimodal_real_decode_raises(spark, sf_dir):
     media = synth_media_df(corpus).limit(1)
     with pytest.raises(Exception) as exc:
         decode_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or "real image decode" in str(
-        exc.value
+    msg = str(exc.value)
+    assert "NotImplementedError" in msg or "Pillow" in msg
+
+
+@pytest.mark.skipif(
+    not _pil_available(),
+    reason="requires Pillow (pip install pillow) - real image decode "
+    "is env-gated, see INTEGRATION.md",
+)
+def test_multimodal_real_decode_with_pil(spark):
+    """With Pillow installed, fake=False decodes real image bytes:
+    dims come from the image, features from its 4x4 thumbnail."""
+    import io
+
+    from PIL import Image
+
+    from triplestore_spark.operators.multimodal import decode_image_features
+
+    buf = io.BytesIO()
+    Image.new("RGB", (120, 80), (200, 10, 10)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("media://t/0", "image", bytearray(buf.getvalue()), "image/png")],
+        "media_ref string, kind string, payload binary, mime string",
     )
+    row = decode_image_features(media, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (120, 80)
+    assert len(row["features"]) == 8 and row["n_bytes"] == len(buf.getvalue())
 
 
 def test_nearest_centroid_expr_udf_parity(spark, emb):

@@ -72,26 +72,57 @@ def _fake_decode(payload: bytes, n_features: int) -> tuple:
     return width, height, feats
 
 
+def _real_decode_fn(n_features: int):
+    """Pillow-backed decode, resolved once per executor batch — the
+    env-gated real path (INTEGRATION.md): install `pillow` in the
+    executor Python env to activate; without it the import failure
+    surfaces as NotImplementedError naming the dependency."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires Pillow (PIL), not present in "
+            "this container — pip install pillow in the executor env "
+            "(see INTEGRATION.md)"
+        ) from e
+
+    def decode(raw: bytes) -> tuple:
+        img = Image.open(io.BytesIO(raw))
+        w, h = img.size
+        # cheap, deterministic visual feature: 4x4 grayscale thumbnail
+        # pixel means scaled to [-1, 1), cycled to n_features
+        px = list(img.convert("L").resize((4, 4)).getdata())
+        feats = [(p - 128) / 128.0 for p in px]
+        feats = (feats * ((n_features // len(feats)) + 1))[:n_features]
+        return w, h, feats
+
+    return decode
+
+
 def decode_image_features(
     media: DataFrame, n_features: int = 8, fake: bool = True
 ) -> DataFrame:
     """media table -> IMAGE_FEATURES_SCHEMA via Arrow-batched
-    mapInPandas (one Python roundtrip per ~10k blobs, not per blob)."""
+    mapInPandas (one Python roundtrip per ~10k blobs, not per blob).
+    fake=True (default in this container) derives deterministic
+    dims/features from the payload digest; fake=False decodes with
+    Pillow when installed (tests/test_dataops.py gates both ways)."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        decode = (
+            (lambda raw: _fake_decode(raw, n_features))
+            if fake
+            else _real_decode_fn(n_features)
+        )
         for pdf in it:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                if not fake:
-                    # real path: PIL.Image.open(io.BytesIO(raw)) etc.
-                    raise NotImplementedError(
-                        "real image decode requires PIL/libjpeg, "
-                        "not present in this container"
-                    )
-                w, h, feats = _fake_decode(raw, n_features)
+                w, h, feats = decode(raw)
                 rows.append((ref, w, h, len(raw), feats))
             yield pd.DataFrame(
                 rows,
