@@ -661,3 +661,67 @@ def test_pack_documents_formula_and_shards(spark, docs):
         for r in rs:
             assert r["pack_id"] == run // window, (shard, r["doc_id"])
             run += r["n_tokens"]
+
+
+def test_connected_components_star_equivalence(spark):
+    """Alternating large-star/small-star (VERDICT r3 #3 evaluation)
+    must produce exactly label propagation's clustering on chains,
+    stars, cliques, and a seeded random graph."""
+    import random
+
+    from triplestore_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(24)],
+        "star": [(0, i) for i in range(1, 20)],
+        "clique+pairs": [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(100, 101), (200, 201)],
+        "random": list(
+            {
+                tuple(sorted(rng.sample(range(60), 2)))
+                for _ in range(70)
+            }
+        ),
+    }
+    for name, es in graphs.items():
+        pairs = spark.createDataFrame(es, "doc_a long, doc_b long")
+        a = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, max_iter=40).collect()
+        }
+        b = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert a == b, (name, a, b)
+
+
+def test_connected_components_star_beats_diameter(spark):
+    """The point of the alternating algorithm: a 200-node chain
+    (diameter 200) converges within 12 alternating rounds — label
+    propagation would need 200."""
+    from triplestore_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    cc = connected_components_star(pairs, max_iter=12)
+    assert {r["cluster_id"] for r in cc.collect()} == {0}
+    assert cc.count() == 201
+
+
+def test_connected_components_star_nonconvergence_raises(spark):
+    from triplestore_spark.operators.dedup import (
+        ConvergenceError,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components_star(pairs, max_iter=1)

@@ -317,6 +317,119 @@ def connected_components(
     )
 
 
+def _sym_edges(pairs: DataFrame) -> DataFrame:
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', SoCC'14): every node u connects its
+    strictly-larger neighbors to min(N(u) ∪ {u}). Input must be the
+    symmetric edge view; output is directed (child, parent)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    m = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = m.select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+    return (
+        sym.join(m, on="src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge to its larger endpoint
+    u, then connect u and its smaller neighbors to their minimum."""
+    o = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    m = o.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = o.join(m, on="src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    selfs = m.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        nbrs.unionByName(selfs)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    O(log^2 n)-round algorithm (public: Kiveris et al., SoCC'14) for
+    graphs whose components may be CHAIN-shaped, where min-label
+    propagation's O(diameter) rounds is the scale risk (VERDICT r3 #3
+    'evaluate large-star/small-star'). Same output contract as
+    connected_components: (doc_id, cluster_id = component minimum).
+
+    Every operation is an equi-join/groupBy on node ids; rounds are
+    materialized with localCheckpoint and convergence is edge-set
+    stability of the small-star output (count match + empty
+    difference — both sides deduped). Equivalence with label
+    propagation is locked by tests/test_dataops.py on chains, stars,
+    and seeded random graphs; a 200-node chain converges in ~5
+    alternating rounds here vs 200 label-propagation rounds."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged={on_nonconverged!r}")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = _sym_edges(pairs).localCheckpoint()
+    prev = None
+    prev_count = -1
+    converged = False
+    for _i in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cnt = edges.count()
+        if prev is not None and cnt == prev_count:
+            if edges.exceptAll(prev).limit(1).count() == 0:
+                converged = True
+                break
+        prev, prev_count = edges, cnt
+    if not converged:
+        msg = (
+            f"connected_components_star did not converge in {max_iter} "
+            "alternating rounds — returned cluster labels are not final"
+        )
+        if on_nonconverged == "raise":
+            raise ConvergenceError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning)
+    # at convergence the edge set is a star forest: every non-root
+    # points at its component minimum; roots label themselves
+    parents = edges.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("parent")
+    )
+    return nodes.join(parents, on="node", how="left").select(
+        F.col("node").alias("doc_id"),
+        F.least(
+            F.col("node"), F.coalesce(F.col("parent"), F.col("node"))
+        ).alias("cluster_id"),
+    )
+
+
 def dedup_keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """The dedup DELIVERABLE: which documents survive. Every doc not
     in any dup cluster survives; within a cluster only the canonical
