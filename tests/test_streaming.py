@@ -332,16 +332,21 @@ def test_open_split_path_uri_handling(tmp_path):
     p = tmp_path / "dir with space" / "x.bin"
     p.parent.mkdir()
     p.write_bytes(b"payload")
+    # names with literal percent sequences must NOT be decoded —
+    # Hadoop listings emit raw names
+    q = tmp_path / "dir with space" / "a%20b.bin"
+    q.write_bytes(b"percent")
 
     for uri in (
         str(p),
         "file:" + str(p),
         "file://" + str(p),  # empty authority
         "file://localhost" + str(p),
-        "file:" + str(p).replace("dir with space", "dir%20with%20space"),
     ):
         with _open_split_path(uri) as f:
             assert f.read() == b"payload"
+    with _open_split_path("file:" + str(q)) as f:
+        assert f.read() == b"percent"
 
     with _pytest.raises(BinaryDecodeError, match="authority"):
         _open_split_path("file://otherhost/tmp/x.bin")
@@ -356,3 +361,23 @@ def test_open_split_path_uri_handling(tmp_path):
         raise AssertionError("expected S3 open to fail")
     except Exception as e:  # noqa: BLE001 - driver error type varies
         assert "s3a" not in str(e).lower()
+
+
+def test_merge_refuses_live_compaction_lock(spark, tmp_path):
+    """Review r4: appending while a compactor is mid-swap would let the
+    swap silently drop the fresh fragments — merge must fail loudly
+    under a live lock and succeed once it expires."""
+    import pytest as _pytest
+
+    from triplestore_spark.streaming.ingest import _LOCK_SUFFIX
+
+    path = str(tmp_path / "sink.parquet")
+    merge_batch_into_sink(_batch(spark, range(10)), path, n_buckets=4)
+    lock = path + _LOCK_SUFFIX
+    open(lock, "w").close()
+    with _pytest.raises(RuntimeError, match="single-writer"):
+        merge_batch_into_sink(_batch(spark, range(10, 20)), path, n_buckets=4)
+    os.utime(lock, (0, 0))  # expired -> merge self-heals and proceeds
+    merge_batch_into_sink(_batch(spark, range(10, 20)), path, n_buckets=4)
+    assert spark.read.parquet(path).select("tkey").distinct().count() == 20
+    assert not os.path.exists(lock)

@@ -15,8 +15,9 @@ stronger than rows-only, independent of the Spark implementation:
 - minhash-verified pairs: jaccard is id-free, so
   pairs(REP x) == n_docs * C(REP,2) + REP^2 * pairs(1x).
 
-Usage: python tools/check_scale10x.py [--sf DIR] [--rep K]
-Writes BENCH/SCALE10X_r03.txt.
+Usage: python tools/check_scale10x.py [--sf DIR] [--rep K] [--round N]
+Writes BENCH/SCALE{K}X_r{N}.txt. Run in a low-load window with NOTHING
+else concurrent (self-contention invalidates the timing context).
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--rep", type=int, default=10)
+    ap.add_argument("--round", type=int, default=4)
     args = ap.parse_args()
 
     from triplestore_spark.operators.dedup import (
@@ -101,7 +103,8 @@ def main():
     out = "\n".join(lines) + "\n"
     print(out)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH", "SCALE10X_r03.txt"), "w") as f:
+    name = f"SCALE{args.rep}X_r{args.round:02d}.txt"
+    with open(os.path.join(repo, "BENCH", name), "w") as f:
         f.write(out)
     sys.exit(0 if ok else 1)
 

@@ -408,6 +408,18 @@ def connected_components_star(
                 break
         prev, prev_count = edges, cnt
     if not converged:
+        # the loop's LAST round may itself have been the fixed point
+        # (stability is only observable one round later) — confirm with
+        # one extra alternating round before failing, mirroring
+        # connected_components' boundary handling
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        if (
+            new_edges.count() == prev_count
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            converged = True
+        edges = new_edges
+    if not converged:
         msg = (
             f"connected_components_star did not converge in {max_iter} "
             "alternating rounds — returned cluster labels are not final"

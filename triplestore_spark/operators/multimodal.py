@@ -89,11 +89,18 @@ def _real_decode_fn(n_features: int):
         ) from e
 
     def decode(raw: bytes) -> tuple:
-        img = Image.open(io.BytesIO(raw))
-        w, h = img.size
-        # cheap, deterministic visual feature: 4x4 grayscale thumbnail
-        # pixel means scaled to [-1, 1), cycled to n_features
-        px = list(img.convert("L").resize((4, 4)).getdata())
+        # one missing/corrupt blob must not kill a large media job:
+        # undecodable rows surface as null dims/features (the schema is
+        # nullable) and are countable downstream, mirroring the
+        # quarantine philosophy of the NT decoder
+        try:
+            img = Image.open(io.BytesIO(raw))
+            w, h = img.size
+            # cheap, deterministic visual feature: 4x4 grayscale
+            # thumbnail pixel means scaled to [-1, 1), cycled
+            px = list(img.convert("L").resize((4, 4)).getdata())
+        except Exception:  # noqa: BLE001 - PIL raises many types
+            return None, None, None
         feats = [(p - 128) / 128.0 for p in px]
         feats = (feats * ((n_features // len(feats)) + 1))[:n_features]
         return w, h, feats

@@ -340,17 +340,20 @@ def _open_split_path(p: str):
     listing — normalizes Hadoop-flavored URI spellings pyarrow doesn't
     know (ADVICE r3: s3a://, file://host/...)."""
     if p.startswith("file:"):
-        from urllib.parse import unquote, urlparse
+        from urllib.parse import urlparse
 
         u = urlparse(p)
         # file:///x and file:/x -> /x; a non-empty authority
         # (file://host/x) is not a local path — reject loudly instead
-        # of silently reading '/host/x'.
+        # of silently reading '/host/x'. The path is used VERBATIM (no
+        # percent-decoding): Hadoop FS listings emit raw names, so a
+        # file literally named 'a%20b.bin' must stay 'a%20b.bin'
+        # (review r4 finding).
         if u.netloc not in ("", "localhost"):
             raise BinaryDecodeError(
                 f"file: URI with remote authority not supported: {p}"
             )
-        return open(unquote(u.path), "rb")
+        return open(u.path, "rb")
     if "://" in p:
         from pyarrow import fs as pafs
 

@@ -78,8 +78,24 @@ def merge_batch_into_sink(
     bucketed sink. Reads ONLY the bucket partitions the batch's tkeys
     hash into: the IN-list on the partition column is a partition
     filter, so the anti-join's scan size is independent of total sink
-    size."""
+    size.
+
+    Single-writer contract: a LIVE compaction lock makes this raise —
+    appending while an out-of-band compactor is mid-swap would let the
+    swap silently drop the freshly appended fragments (the compactor
+    read the sink before the append). The in-stream compaction cadence
+    never trips this: it runs inside the same foreachBatch thread."""
     spark = batch_df.sparkSession
+    fs, _ = _hadoop_fs(spark, data_path)
+    if _lock_is_live(
+        fs, _jpath(spark, data_path + _LOCK_SUFFIX), COMPACTION_LOCK_LEASE_MS
+    ):
+        raise RuntimeError(
+            f"a compaction holds {data_path + _LOCK_SUFFIX}; merging "
+            "concurrently would lose appended fragments in the bucket "
+            "swap — retry after compaction finishes (single-writer "
+            "contract, see compact_sink)"
+        )
     # repair any state a crashed compaction left behind BEFORE deciding
     # whether the sink exists — otherwise a missing-but-recoverable data
     # path would be mistaken for a fresh sink and all prior data
@@ -174,14 +190,19 @@ def _bucket_dirs(fs, jpath) -> list[str]:
 def _lock_is_live(fs, lock, lease_ms: int) -> bool:
     """True if a compaction lock exists and is younger than its lease
     (FS modification time — same clock domain as the lock writer on
-    HDFS; document skew if compactors run off-cluster)."""
+    HDFS; document skew if compactors run off-cluster). A lock deleted
+    between the existence check and the stat (concurrent recover) is
+    simply not live."""
     import time
 
-    if not fs.exists(lock):
+    try:
+        if not fs.exists(lock):
+            return False
+        age_ms = int(time.time() * 1000) - fs.getFileStatus(
+            lock
+        ).getModificationTime()
+    except Exception:  # noqa: BLE001 - vanished mid-check == no lock
         return False
-    age_ms = int(time.time() * 1000) - fs.getFileStatus(
-        lock
-    ).getModificationTime()
     return age_ms < lease_ms
 
 
@@ -236,8 +257,14 @@ def recover_sink(
         fs.delete(tmp, True)
         acted = True
     stale_lock = _jpath(spark, data_path + _LOCK_SUFFIX)
-    if not _force and fs.exists(stale_lock):
-        # past the live-check above, so the lock is expired: clear it
+    if (
+        not _force
+        and fs.exists(stale_lock)
+        and not _lock_is_live(fs, stale_lock, lock_lease_ms)
+    ):
+        # re-checked by mtime: a compactor may have taken a FRESH lock
+        # since the entry liveness check — only an actually-expired
+        # lock is cleared
         fs.delete(stale_lock, False)
         acted = True
     return acted
@@ -273,19 +300,27 @@ def compact_sink(
 
     # Take the compaction lock FIRST: while it is live, concurrent
     # recover_sink calls (every merge batch runs one) leave our
-    # ._compacting output and mid-swap ._old buckets alone. createNewFile
-    # is the atomic claim — a second compactor gets False and stops.
+    # ._compacting output and mid-swap ._old buckets alone.
+    # createNewFile IS the atomic claim, so it comes first — delete-
+    # then-create would let two compactors interleave (review r4
+    # finding: B's delete could remove A's fresh lock). Only when the
+    # claim fails do we look at the existing lock: live -> refuse;
+    # expired -> clear it and claim exactly once more (losing that
+    # second claim means a rival won — stop).
     lock = _jpath(spark, data_path + _LOCK_SUFFIX)
-    if _lock_is_live(fs, lock, COMPACTION_LOCK_LEASE_MS):
-        raise RuntimeError(
-            f"another compaction holds the lock {data_path + _LOCK_SUFFIX}; "
-            "refusing to run two compactors on one sink"
-        )
-    fs.delete(lock, False)  # clear an expired lock before re-claiming
     if not fs.createNewFile(lock):
-        raise RuntimeError(
-            f"lost the race for compaction lock {data_path + _LOCK_SUFFIX}"
-        )
+        if _lock_is_live(fs, lock, COMPACTION_LOCK_LEASE_MS):
+            raise RuntimeError(
+                f"another compaction holds the lock "
+                f"{data_path + _LOCK_SUFFIX}; refusing to run two "
+                "compactors on one sink"
+            )
+        fs.delete(lock, False)  # expired leftover from a dead compactor
+        if not fs.createNewFile(lock):
+            raise RuntimeError(
+                f"lost the race for compaction lock "
+                f"{data_path + _LOCK_SUFFIX}"
+            )
     try:
         recover_sink(spark, data_path, _force=True)
         n_buckets = len(_bucket_dirs(fs, data)) or DEFAULT_BUCKETS
@@ -296,6 +331,13 @@ def compact_sink(
             .partitionBy(_BUCKET)
             .parquet(tmp_path)
         )
+        # the rewrite above is the long phase; renew the lease so the
+        # swap below runs under a fresh lock even when the rewrite took
+        # longer than COMPACTION_LOCK_LEASE_MS (review r4: an expired
+        # mid-flight lock would let a merge repair over the swap)
+        import time as _time
+
+        fs.setTimes(lock, int(_time.time() * 1000), -1)
         tmp = _jpath(spark, tmp_path)
         old = _jpath(spark, old_path)
         fs.mkdirs(old)
