@@ -7,8 +7,8 @@ compaction cadence, and reports wall time, triples/s, dedup
 correctness, file counts before/after compaction, and that no
 crash-recovery markers remain.
 
-Usage: python tools/bench_streaming.py [--files 64] [--replicate 4]
-Writes BENCH/STREAMING_r03.txt.
+Usage: python tools/bench_streaming.py [--files 64] [--replicate 4] [--round N]
+Writes BENCH/STREAMING_r{N}.txt.
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--files", type=int, default=64)
     ap.add_argument("--replicate", type=int, default=4)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--round", type=int, default=4)
     args = ap.parse_args()
 
     from triplestore_spark.pipeline.run import run_pipeline
@@ -114,7 +115,9 @@ def main():
     }
     print(json.dumps(out))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH", "STREAMING_r03.txt"), "w") as f:
+    with open(
+        os.path.join(repo, "BENCH", f"STREAMING_r{args.round:02d}.txt"), "w"
+    ) as f:
         f.write(
             "# Streaming ingest evidence (tools/bench_streaming.py)\n\n"
             "Exactly-once bucketed NT ingest (availableNow); every second\n"
