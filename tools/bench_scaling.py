@@ -38,6 +38,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CALIB_WORK = "x=0\nfor i in range(30_000_000): x+=i"
 
+# Memory-bandwidth probe: a shuffle/sort/parquet job is bandwidth-bound
+# for much of its time, and DRAM bandwidth is SHARED across cores in
+# one box — the ALU loop above can't see that contention (round-4
+# finding: the job's own CPU-seconds inflate 1.38x from 4->16 busy
+# cores while the ALU probe inflates only ~1.06x). On a real cluster
+# 4N executors bring 4x the memory bandwidth; in one box they don't.
+_MEM_WORK = """
+import numpy as np, time
+a = np.ones(12_500_000); b = np.empty(12_500_000)  # 100 MB each
+t0 = time.time()
+for _ in range(20):
+    b[:] = a; a[:] = b
+print(time.time() - t0)
+"""
+_MEM_SPIN = """
+import numpy as np
+a = np.ones(12_500_000); b = np.empty(12_500_000)
+while True:
+    b[:] = a; a[:] = b
+"""
+
 
 def _timed_loop() -> float:
     t0 = time.time()
@@ -45,11 +66,17 @@ def _timed_loop() -> float:
     return time.time() - t0
 
 
-def _loop_with_spinners(n_spinners: int) -> float:
-    procs = [
-        subprocess.Popen([sys.executable, "-c", "while True: pass"])
-        for _ in range(n_spinners)
+def _spinners(n: int, code: str):
+    return [
+        subprocess.Popen(
+            [sys.executable, "-c", code], stdout=subprocess.DEVNULL
+        )
+        for _ in range(n)
     ]
+
+
+def _loop_with_spinners(n_spinners: int) -> float:
+    procs = _spinners(n_spinners, "while True: pass")
     time.sleep(0.5)
     try:
         return _timed_loop()
@@ -58,15 +85,37 @@ def _loop_with_spinners(n_spinners: int) -> float:
             p.kill()
 
 
+def _mem_loop_with_spinners(n_spinners: int) -> float:
+    procs = _spinners(n_spinners, _MEM_SPIN)
+    time.sleep(1.5)  # let spinners allocate before measuring
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _MEM_WORK], capture_output=True, text=True
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    finally:
+        for p in procs:
+            p.kill()
+
+
 def hardware_ceiling(n: int, n4: int, repeats: int = 3) -> dict:
-    """Max achievable T(n)/(4*T(4n)) efficiency on this box: per-core
-    speed at 4N occupancy / per-core speed at N occupancy."""
+    """Max achievable T(n)/(4*T(4n)) efficiency on this box, by two
+    probes bracketing the job mix: an ALU loop (frequency/steal
+    throttling only) and a DRAM-streaming loop (shared memory
+    bandwidth — the dominant contention for shuffle/sort/parquet
+    phases). `ceiling` keeps the ALU probe for continuity with prior
+    rounds; `ceiling_membw` is the bandwidth-bound bound."""
     at_n = min(_loop_with_spinners(n - 1) for _ in range(repeats))
     at_n4 = min(_loop_with_spinners(n4 - 1) for _ in range(repeats))
+    mem_n = min(_mem_loop_with_spinners(n - 1) for _ in range(repeats))
+    mem_n4 = min(_mem_loop_with_spinners(n4 - 1) for _ in range(repeats))
     return {
         "loop_sec_at_N_occupancy": round(at_n, 3),
         "loop_sec_at_4N_occupancy": round(at_n4, 3),
         "ceiling": round(at_n / at_n4, 3),
+        "mem_sec_at_N_occupancy": round(mem_n, 3),
+        "mem_sec_at_4N_occupancy": round(mem_n4, 3),
+        "ceiling_membw": round(mem_n / mem_n4, 3),
     }
 
 
