@@ -725,3 +725,25 @@ def test_connected_components_star_nonconvergence_raises(spark):
     )
     with pytest.raises(ConvergenceError):
         connected_components_star(pairs, max_iter=1)
+
+
+def test_dedup_keep_list_star_algorithm_identical(spark):
+    """dedup_keep_list(algorithm='star') must keep exactly the same
+    survivors as the default label-propagation path."""
+    from triplestore_spark.operators.dedup import dedup_keep_list
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long"
+    )
+    a = sorted(r["doc_id"] for r in dedup_keep_list(docs, pairs).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in dedup_keep_list(docs, pairs, algorithm="star").collect()
+    )
+    assert a == b == [1, 10, 20, 99]
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_keep_list(docs, pairs, algorithm="nope")

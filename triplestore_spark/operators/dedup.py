@@ -442,11 +442,25 @@ def connected_components_star(
     )
 
 
-def dedup_keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_keep_list(
+    docs: DataFrame, pairs: DataFrame, algorithm: str = "label"
+) -> DataFrame:
     """The dedup DELIVERABLE: which documents survive. Every doc not
     in any dup cluster survives; within a cluster only the canonical
-    (minimum) doc id survives."""
-    cc = connected_components(pairs)
+    (minimum) doc id survives.
+
+    algorithm='label' (default, the driver-oracled path) propagates in
+    O(diameter) rounds — right for the dense clusters real near-dup
+    corpora produce. algorithm='star' switches to the alternating
+    large-star/small-star variant (O(log^2 n) rounds) when components
+    may be CHAIN-shaped (e.g. transitive paraphrase chains); both
+    produce identical clusterings (equivalence-locked in tests)."""
+    if algorithm == "label":
+        cc = connected_components(pairs)
+    elif algorithm == "star":
+        cc = connected_components_star(pairs)
+    else:
+        raise ValueError(f"algorithm={algorithm!r} (use 'label' or 'star')")
     drop = cc.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(drop, on="doc_id", how="left_anti")
 
