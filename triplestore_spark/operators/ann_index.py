@@ -33,34 +33,20 @@ from triplestore_spark.operators.similarity import (
     _ivf_centroids,
     nearest_centroid_col,
 )
-from triplestore_spark.streaming.ingest import _hadoop_fs
+# index.json goes through the Hadoop FileSystem API — the same
+# storage-agnostic route the vectors take; a driver-local open() would
+# put it on the driver's disk when `path` is an HDFS/S3 URI while the
+# vectors land remotely (round-2 defect). Helpers shared with the
+# split-reader coverage manifest.
+from triplestore_spark.streaming.ingest import (
+    fs_read_text as _fs_read_text,
+)
+from triplestore_spark.streaming.ingest import (
+    fs_write_text as _fs_write_text,
+)
 
 INDEX_FILE = "index.json"
 VECTORS_DIR = "vectors"
-
-
-def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Write a small text file through the Hadoop FileSystem API —
-    the same storage-agnostic route the vectors take. A driver-local
-    open() would put index.json on the driver's disk when `path` is
-    an HDFS/S3 URI while the vectors land remotely (round-2 defect)."""
-    fs, jpath = _hadoop_fs(spark, path)
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _fs_read_text(spark: SparkSession, path: str) -> str:
-    fs, jpath = _hadoop_fs(spark, path)
-    stream = fs.open(jpath)
-    try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
 
 
 class IVFIndex:

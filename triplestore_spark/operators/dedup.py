@@ -317,17 +317,6 @@ def connected_components(
     )
 
 
-def _sym_edges(pairs: DataFrame) -> DataFrame:
-    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    return (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-
-
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., 'Connected Components in
     MapReduce and Beyond', SoCC'14): every node u connects its
@@ -395,7 +384,12 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    edges = _sym_edges(pairs).localCheckpoint()
+    # directed input suffices: _large_star symmetrizes (and dedups)
+    # its input itself every round — pre-symmetrizing here would just
+    # add a redundant shuffle before round 1
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
     prev = None
     prev_count = -1
     converged = False

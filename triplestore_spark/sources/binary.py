@@ -509,20 +509,12 @@ def _coverage_key(split_size: int, validate_records: int, max_word: int) -> str:
 
 
 def _load_coverage_manifest(spark: SparkSession, loc: str) -> dict:
-    from triplestore_spark.streaming.ingest import _hadoop_fs
+    from triplestore_spark.streaming.ingest import fs_exists, fs_read_text
 
-    fs, jpath = _hadoop_fs(spark, loc)
     try:
-        if not fs.exists(jpath):
+        if not fs_exists(spark, loc):
             return {}
-        stream = fs.open(jpath)
-        try:
-            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        doc = json.loads(text)
+        doc = json.loads(fs_read_text(spark, loc))
         return doc if isinstance(doc, dict) else {}
     except Exception:  # noqa: BLE001 - a broken manifest just re-verifies
         return {}
@@ -531,16 +523,12 @@ def _load_coverage_manifest(spark: SparkSession, loc: str) -> dict:
 def _save_coverage_manifest(spark: SparkSession, loc: str, doc: dict) -> None:
     """Best-effort atomic write (tmp + rename). Read-only stores simply
     don't amortize — verification already succeeded this run."""
-    from triplestore_spark.streaming.ingest import _hadoop_fs
+    from triplestore_spark.streaming.ingest import _hadoop_fs, fs_write_text
 
     try:
         tmp = loc + ".tmp"
+        fs_write_text(spark, tmp, json.dumps(doc, sort_keys=True))
         fs, jtmp = _hadoop_fs(spark, tmp)
-        out = fs.create(jtmp, True)
-        try:
-            out.write(bytearray(json.dumps(doc, sort_keys=True).encode()))
-        finally:
-            out.close()
         jloc = _hadoop_fs(spark, loc)[1]
         fs.delete(jloc, False)
         if not fs.rename(jtmp, jloc):

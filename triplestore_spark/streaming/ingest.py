@@ -60,6 +60,30 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(jpath)
 
 
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API — a
+    driver-local open() would land on the driver's disk when `path` is
+    an HDFS/S3 URI. Shared by the IVF index metadata and the split-
+    reader coverage manifest."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def bucket_expr(n_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64("tkey"), F.lit(n_buckets)).cast("int")
 
