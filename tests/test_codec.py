@@ -618,3 +618,56 @@ def test_context_encode_plan_has_no_python(spark):
         .toString()
     )
     assert "Python" not in plan and "InPandas" not in plan, plan
+
+
+def test_context_encode_expr_randomized_differential(spark):
+    """Seeded randomized differential for the Catalyst context encoder:
+    200 random triples (ASCII punctuation, unicode, URL-escape edge
+    chars, random kinds/langs/types) through nt_encode_context_expr
+    must equal encode_triple_py byte for byte under prefix+base
+    contexts — one Spark job per context, not per example."""
+    import random
+
+    from triplestore_spark import schema as S
+    from triplestore_spark.sources.ntriples import (
+        encode_df,
+        encode_triple_py,
+    )
+
+    rng = random.Random(1234)
+    alphabet = (
+        "abcXYZ019 ~*+%/?#<>\\\"'.,:;@^_-()[]{}|&=!\t"
+        "éü中日é☃"
+    )
+
+    def rs(lo=0, hi=18):
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(lo, hi))
+        )
+
+    rows = []
+    for i in range(200):
+        kind = rng.choice(["res", "lit", "bnode"])
+        lang = rng.choice(["", "", "", "fr", "en-GB"]) if kind == "lit" else ""
+        typ = (
+            rng.choice(["xsd:string", "xsd:integer", "my:custom", "bare"])
+            if kind == "lit" and not lang
+            else ("xsd:string" if lang else "")
+        )
+        # subjects/predicates exercise prefix hits and misses
+        subj = rng.choice(["pfx:", "p2:", "http://x/", ""]) + rs(1, 12)
+        pred = rng.choice(["pfx:", "rdf:", ""]) + rs(1, 10)
+        val = rs(0, 20) if kind == "lit" else rng.choice(["pfx:", ""]) + rs(1, 12)
+        rows.append((subj, rng.random() < 0.3, pred, kind, val, typ, lang))
+
+    contexts = [
+        {"prefixes": {"pfx": "http://pfx.test/", "rdf": "http://r.test#",
+                      "xsd": "http://www.w3.org/2001/XMLSchema#"}},
+        {"prefixes": {"pfx": "http://pfx.test/"}, "base": "http://base#"},
+        {"base": "http://base#"},
+    ]
+    df = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    for ctx in contexts:
+        got = sorted(r["value"] for r in encode_df(df, ctx=ctx).collect())
+        want = sorted(encode_triple_py(r, ctx)[:-1] for r in rows)
+        assert got == want, ctx
