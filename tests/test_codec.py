@@ -671,3 +671,36 @@ def test_context_encode_expr_randomized_differential(spark):
         got = sorted(r["value"] for r in encode_df(df, ctx=ctx).collect())
         want = sorted(encode_triple_py(r, ctx)[:-1] for r in rows)
         assert got == want, ctx
+
+
+def test_context_encode_many_prefixes_linear_plan(spark):
+    """The prefix fold is a runtime F.aggregate, so a 200-prefix
+    context must plan instantly (the unrolled when-chain formulation
+    grew 3^n and OOMed the driver at ~64 prefixes), stay free of
+    Python nodes, and match the golden encoder — including a
+    CASCADING expansion (one prefix's expansion starts with another
+    prefix key, which the sequential fold must re-match)."""
+    from triplestore_spark import schema as S
+    from triplestore_spark.sources.ntriples import encode_df, encode_triple_py
+
+    rows = [
+        ("p0:alpha", False, "p1:beta", "res", "p199:gamma", "", ""),
+        ("plain", False, "p", "lit", "v", "xsd:string", ""),
+        # 'a:' expands to something starting with 'b:' -> 'b' (sorted
+        # later) must apply to the EXPANDED value, like build_iri does
+        ("a:x y", False, "p5:q", "res", "b:direct", "", ""),
+    ]
+    df = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    ctx = {
+        "prefixes": {
+            **{f"p{i}": f"http://ns{i}.test/" for i in range(200)},
+            "a": "b:",
+            "b": "http://b.test/",
+        }
+    }
+    out = encode_df(df, ctx=ctx)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "Python" not in plan, plan
+    got = sorted(r["value"] for r in out.collect())
+    want = sorted(encode_triple_py(r, ctx)[:-1] for r in rows)
+    assert got == want

@@ -662,23 +662,46 @@ def _quote_plus_expr(c: Column) -> Column:
 
 
 def _build_iri_expr(ctx: Optional[dict], c: Column) -> Column:
-    """build_iri (reference encode.go:230-246) as a pure expression:
-    the context's prefixes/base are driver-side constants, so the
-    sequential sorted-prefix fold unrolls into a chain of
-    when(startswith)/otherwise transforms — no Python in the plan."""
+    """build_iri (reference encode.go:230-246) as a pure expression.
+
+    The sequential sorted-prefix fold runs as F.aggregate over a
+    LITERAL array of (prefix, expansion) structs with the IRI as the
+    accumulator — a runtime fold, so the plan stays LINEAR in the
+    prefix count. (The first cut unrolled one when/otherwise layer per
+    prefix; each layer references the accumulator three times, so the
+    expression tree grew 3^n and a 64-prefix context OOMed the driver
+    while merely BUILDING the plan — the same blow-up family as the
+    centroid assigner's literal expression, solved here by moving the
+    fold to runtime instead of capping it.)"""
     if not ctx:
         return c
     e = c
     prefixes = ctx.get("prefixes") or {}
-    for k in sorted(prefixes):
-        p = k + ":"
-        e = F.when(
-            e.startswith(p),
-            F.concat(
-                F.lit(prefixes[k]),
-                _quote_plus_expr(F.substring(e, len(p) + 1, (1 << 31) - 1)),
-            ),
-        ).otherwise(e)
+    if prefixes:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(k + ":").alias("p"),
+                    F.lit(prefixes[k]).alias("u"),
+                )
+                for k in sorted(prefixes)
+            ]
+        )
+        e = F.aggregate(
+            entries,
+            e,
+            lambda acc, s: F.when(
+                acc.startswith(s["p"]),
+                F.concat(
+                    s["u"],
+                    _quote_plus_expr(
+                        acc.substr(
+                            F.length(s["p"]) + 1, F.lit((1 << 31) - 1)
+                        )
+                    ),
+                ),
+            ).otherwise(acc),
+        )
     base = ctx.get("base") or ""
     if base:
         e = F.when(
@@ -779,9 +802,10 @@ def encode_triple_py(row: tuple, ctx: Optional[dict] = None) -> str:
 def encode_df(df: DataFrame, ctx: Optional[dict] = None) -> DataFrame:
     """Triples -> one-column DataFrame of NT lines (no newline; the
     text sink adds it). Both the context-free and context paths are
-    pure Catalyst expressions (whole-stage codegen, no Python
-    workers); encode_triple_py is the per-row golden reference both
-    are differentially tested against."""
+    pure Catalyst expressions — the prefix fold is a runtime
+    F.aggregate, so plan size is independent of the prefix count.
+    encode_triple_py is the per-row golden reference both paths are
+    differentially tested against."""
     if ctx is None:
         return df.select(nt_encode_expr().alias("value"))
     return df.select(nt_encode_context_expr(ctx).alias("value"))
