@@ -704,3 +704,26 @@ def test_context_encode_many_prefixes_linear_plan(spark):
     got = sorted(r["value"] for r in out.collect())
     want = sorted(encode_triple_py(r, ctx)[:-1] for r in rows)
     assert got == want
+
+
+def test_context_encode_dispatch_boundary(spark):
+    """Both sides of CONTEXT_UNROLL_MAX_PREFIXES (codegen'd unrolled
+    chain vs runtime aggregate fold) must match the golden encoder on
+    the same rows."""
+    from triplestore_spark import schema as S
+    from triplestore_spark.sources.ntriples import (
+        CONTEXT_UNROLL_MAX_PREFIXES as CAP,
+        encode_df,
+        encode_triple_py,
+    )
+
+    rows = [
+        ("p0:x y", False, "p1:q", "res", f"p{CAP - 1}:v", "", ""),
+        ("plain", False, "p", "lit", "v~*", "xsd:string", ""),
+    ]
+    df = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    for n in (CAP, CAP + 1):
+        ctx = {"prefixes": {f"p{i}": f"http://n{i}/" for i in range(n)}}
+        got = sorted(r["value"] for r in encode_df(df, ctx=ctx).collect())
+        want = sorted(encode_triple_py(r, ctx)[:-1] for r in rows)
+        assert got == want, n

@@ -320,8 +320,11 @@ def connected_components(
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., 'Connected Components in
     MapReduce and Beyond', SoCC'14): every node u connects its
-    strictly-larger neighbors to min(N(u) ∪ {u}). Input must be the
-    symmetric edge view; output is directed (child, parent)."""
+    strictly-larger neighbors to min(N(u) ∪ {u}). Input may be
+    DIRECTED and may contain duplicates or self-loops — the
+    symmetrize+distinct below is LOAD-BEARING (round 1 receives raw
+    directed pairs; later rounds receive small-star output), do not
+    'optimize' it away. Output is directed (child, parent)."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

@@ -661,23 +661,40 @@ def _quote_plus_expr(c: Column) -> Column:
     )
 
 
-def _build_iri_expr(ctx: Optional[dict], c: Column) -> Column:
-    """build_iri (reference encode.go:230-246) as a pure expression.
+# Prefix count up to which the sequential fold unrolls into a
+# when/otherwise chain (whole-stage-codegen'd — the hot path for the
+# 2-5-prefix contexts real usage has). Each unrolled layer references
+# its accumulator three times, so the tree grows 3^n: 6 prefixes is
+# ~700 nodes per IRI position (fine); 64 prefixes OOMed the driver
+# while merely BUILDING the plan. Above the cap the fold runs as
+# F.aggregate over a literal array — a runtime higher-order function,
+# interpreted (CodegenFallback) but constant plan size. Both paths are
+# differentially locked against the golden encoder.
+CONTEXT_UNROLL_MAX_PREFIXES = 6
 
-    The sequential sorted-prefix fold runs as F.aggregate over a
-    LITERAL array of (prefix, expansion) structs with the IRI as the
-    accumulator — a runtime fold, so the plan stays LINEAR in the
-    prefix count. (The first cut unrolled one when/otherwise layer per
-    prefix; each layer references the accumulator three times, so the
-    expression tree grew 3^n and a 64-prefix context OOMed the driver
-    while merely BUILDING the plan — the same blow-up family as the
-    centroid assigner's literal expression, solved here by moving the
-    fold to runtime instead of capping it.)"""
+
+def _build_iri_expr(ctx: Optional[dict], c: Column) -> Column:
+    """build_iri (reference encode.go:230-246) as a pure expression:
+    sequential sorted-prefix fold (cascading expansions re-match, like
+    the Go loop), then base prepend. Dispatches on prefix count — see
+    CONTEXT_UNROLL_MAX_PREFIXES."""
     if not ctx:
         return c
     e = c
     prefixes = ctx.get("prefixes") or {}
-    if prefixes:
+    if 0 < len(prefixes) <= CONTEXT_UNROLL_MAX_PREFIXES:
+        for k in sorted(prefixes):
+            p = k + ":"
+            e = F.when(
+                e.startswith(p),
+                F.concat(
+                    F.lit(prefixes[k]),
+                    _quote_plus_expr(
+                        F.substring(e, len(p) + 1, (1 << 31) - 1)
+                    ),
+                ),
+            ).otherwise(e)
+    elif prefixes:
         entries = F.array(
             *[
                 F.struct(
