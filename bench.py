@@ -5,6 +5,16 @@ Runs the headline flows at $SPARK_GRAFT_SF_DIR (default
 line: {"metric", "value" (total sec), "unit", "queries" (per-query
 sec), "sf", plus throughput extras}.
 
+Noise robustness (VERDICT r4 #1): a single timed pass inherits up to
+1.8x co-tenant load in this shared sandbox, so each query runs
+$SPARK_GRAFT_BENCH_REPS times (default 3, with a short cooldown
+between reps) and the reported number is the MIN — the best observable
+proxy for intrinsic cost. The JSON also carries the per-query spread
+(max - min over reps) and the 1-minute loadavg at start and end, so a
+noisy snapshot is self-diagnosing instead of indistinguishable from a
+regression. This mirrors the reference's own best-of-2-per-config
+protocol (BASELINE.md).
+
 The flagship metric mirrors BASELINE.json: triples/sec end-to-end
 extract -> canonicalize -> materialize. Scaling runs (local[8] vs
 local[32]) are driven by tools/bench_scaling.py into BENCH/BASELINE.md.
@@ -45,13 +55,25 @@ def main():
     from triplestore_spark.pipeline.run import run_pipeline
     from triplestore_spark.queries import registry, tpch_graph_triples
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "0.2"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     extras: dict[str, float] = {}
+    load_start = round(os.getloadavg()[0], 2)
 
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        """Best-of-`reps` timing: report the min, record the spread."""
+        runs = []
+        out = None
+        for i in range(reps):
+            if i:
+                time.sleep(cooldown)
+            t0 = time.time()
+            out = fn()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
         return out
 
     # warm the JVM, parquet footers, codegen and JIT once with the
@@ -134,17 +156,20 @@ def main():
 
     canon_cached = run_pipeline(spark, sf_dir).cache()
     n_codec = canon_cached.count()
-    t0 = time.time()
-    lines = canon_cached.select(nt_encode_expr().alias("value"))
-    lines_cached = lines.cache()
-    lines_cached.count()
-    timings["q6_nt_encode"] = round(time.time() - t0, 3)
+    # each rep recomputes the uncached encode plan over the cached
+    # canonical triples — no cross-rep cache makes reps comparable
+    timed(
+        "q6_nt_encode",
+        lambda: canon_cached.select(nt_encode_expr().alias("value")).count(),
+    )
     extras["nt_encode_triples_per_sec"] = round(
         n_codec / timings["q6_nt_encode"], 1
     )
-    t0 = time.time()
-    decode_lines_df(lines_cached).count()
-    timings["q7_nt_decode"] = round(time.time() - t0, 3)
+    lines_cached = canon_cached.select(
+        nt_encode_expr().alias("value")
+    ).cache()
+    lines_cached.count()  # untimed: materialize q7's input once
+    timed("q7_nt_decode", lambda: decode_lines_df(lines_cached).count())
     extras["nt_decode_triples_per_sec"] = round(
         n_codec / timings["q7_nt_decode"], 1
     )
@@ -164,6 +189,10 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spreads,
+                "reps": reps,
+                "loadavg_start": load_start,
+                "loadavg_end": round(os.getloadavg()[0], 2),
                 "sf": sf,
                 **extras,
             }
