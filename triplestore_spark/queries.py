@@ -798,9 +798,11 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
 
     q["dedup_clusters"] = (
         # near-dup CLUSTERING: connected components over the verified
-        # minhash pairs (min-label propagation, equi-joins only);
+        # minhash pairs — alternating large-star/small-star (the
+        # O(log^2 n)-round default since r5; label propagation remains
+        # the equivalence-locked cross-check in tests);
         # oracle = recursive-CTE reachability with min-id labels
-        lambda spark, sf: DD.connected_components(_dup_pairs(spark, sf)),
+        lambda spark, sf: DD.connected_components_star(_dup_pairs(spark, sf)),
         _DUP_PAIRS_SQL
         + "SELECT node AS doc_id, r AS cluster_id FROM "
         + _REACH_MIN_SQL,
