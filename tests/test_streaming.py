@@ -381,3 +381,240 @@ def test_merge_refuses_live_compaction_lock(spark, tmp_path):
     merge_batch_into_sink(_batch(spark, range(10, 20)), path, n_buckets=4)
     assert spark.read.parquet(path).select("tkey").distinct().count() == 20
     assert not os.path.exists(lock)
+
+
+def test_lock_lease_knob_end_to_end(spark, tmp_path):
+    """VERDICT r4 #6: one configurable lease honored by BOTH sides. A
+    30s-old lock is live under the default 1h lease (merge and compact
+    refuse) but expired under a 10s lease (both proceed)."""
+    import time
+
+    import pytest as _pytest
+
+    from triplestore_spark.streaming.ingest import _LOCK_SUFFIX
+
+    table_dir = str(tmp_path / "t")
+    path = os.path.join(table_dir, "triples.parquet")
+    merge_batch_into_sink(_batch(spark, range(10)), path, n_buckets=4)
+
+    lock = path + _LOCK_SUFFIX
+    open(lock, "w").close()
+    t = time.time() - 30
+    os.utime(lock, (t, t))
+
+    with _pytest.raises(RuntimeError, match="single-writer"):
+        merge_batch_into_sink(_batch(spark, range(10, 20)), path, n_buckets=4)
+    with _pytest.raises(RuntimeError, match="lock"):
+        compact_sink(spark, table_dir)
+
+    merge_batch_into_sink(
+        _batch(spark, range(10, 20)), path, n_buckets=4, lock_lease_ms=10_000
+    )
+    open(lock, "w").close()
+    os.utime(lock, (t, t))
+    compact_sink(spark, table_dir, lock_lease_ms=10_000)
+    assert not os.path.exists(lock)
+    assert spark.read.parquet(path).select("tkey").distinct().count() == 20
+
+
+class _FakeFS:
+    """String-keyed in-memory FileSystem facade — just the five calls
+    _claim_compaction_lock makes, with rename as the atomic primitive."""
+
+    def __init__(self):
+        import time
+
+        self.files: dict[str, int] = {}
+        self._now = lambda: int(time.time() * 1000)
+
+    def _k(self, p) -> str:
+        return str(p)
+
+    def createNewFile(self, p) -> bool:
+        k = self._k(p)
+        if k in self.files:
+            return False
+        self.files[k] = self._now()
+        return True
+
+    def exists(self, p) -> bool:
+        return self._k(p) in self.files
+
+    def getFileStatus(self, p):
+        mtime = self.files[self._k(p)]  # KeyError == FileNotFound
+
+        class _St:
+            def getModificationTime(self) -> int:
+                return mtime
+
+        return _St()
+
+    def rename(self, a, b) -> bool:
+        ka, kb = self._k(a), self._k(b)
+        if ka not in self.files or kb in self.files:
+            return False
+        self.files[kb] = self.files.pop(ka)
+        return True
+
+    def delete(self, p, _rec=False) -> bool:
+        return self.files.pop(self._k(p), None) is not None
+
+
+def test_claim_lock_reclaims_expired_and_refuses_live(spark, tmp_path):
+    from triplestore_spark.streaming.ingest import (
+        _LOCK_SUFFIX,
+        _claim_compaction_lock,
+        _jpath,
+    )
+    import pytest as _pytest
+
+    data_path = str(tmp_path / "sink.parquet")
+    lock = _jpath(spark, data_path + _LOCK_SUFFIX)
+
+    fs = _FakeFS()
+    _claim_compaction_lock(fs, spark, data_path, lock, 1000)  # no lock yet
+    assert fs.exists(lock)
+
+    with _pytest.raises(RuntimeError, match="another compaction"):
+        _claim_compaction_lock(fs, spark, data_path, lock, 60_000)
+
+    fs.files[str(lock)] = 0  # expired leftover -> reclaimed atomically
+    _claim_compaction_lock(fs, spark, data_path, lock, 1000)
+    assert fs.exists(lock)
+    assert len(fs.files) == 1  # no probe leftovers
+
+
+def test_claim_lock_restores_stolen_fresh_lock(spark, tmp_path):
+    """ADVICE r4 (medium): rival reclaims the expired lock and creates
+    a FRESH one between our liveness stat and our rename. The old
+    delete-then-create path would delete the rival's fresh lock (two
+    live compactors). Now: our rename moves the fresh lock, the mtime
+    re-check notices, the lock is renamed BACK, and we refuse."""
+    import pytest as _pytest
+
+    from triplestore_spark.streaming.ingest import (
+        _LOCK_SUFFIX,
+        _claim_compaction_lock,
+        _jpath,
+    )
+
+    data_path = str(tmp_path / "sink.parquet")
+    lock = _jpath(spark, data_path + _LOCK_SUFFIX)
+    lock_key = str(lock)
+
+    class _RacingFS(_FakeFS):
+        def rename(self, a, b):
+            # the rival's reclaim+re-create lands exactly before our
+            # rename executes: the lock at `a` is suddenly FRESH
+            if self._k(a) == lock_key and lock_key in self.files:
+                self.files[lock_key] = self._now()
+            return super().rename(a, b)
+
+    fs = _RacingFS()
+    fs.files[lock_key] = 0  # looks expired at the stat
+    with _pytest.raises(RuntimeError, match="another compaction"):
+        _claim_compaction_lock(fs, spark, data_path, lock, 60_000)
+    # the rival's fresh lock is back in place, no probe leftovers
+    assert list(fs.files) == [lock_key]
+    assert fs.files[lock_key] > 0
+
+
+def test_renew_lock_advances_mtime_even_without_settimes(spark, tmp_path):
+    """ADVICE r4: fs.setTimes is an empty base-class method on some
+    FileSystems — renewal must verify and fall back to rewriting the
+    lock file."""
+    from triplestore_spark.streaming.ingest import (
+        _hadoop_fs,
+        _lock_is_live,
+        _renew_lock,
+    )
+
+    # real local FS: setTimes works, mtime verified to advance
+    lockf = tmp_path / "x.lock"
+    lockf.write_text("")
+    os.utime(lockf, (0, 0))
+    fs, jlock = _hadoop_fs(spark, str(lockf))
+    assert not _lock_is_live(fs, jlock, 60_000)
+    _renew_lock(fs, jlock)
+    assert _lock_is_live(fs, jlock, 60_000)
+
+    # no-op setTimes: fallback must REWRITE the file to bump mtime
+    class _NoSetTimesFS(_FakeFS):
+        def setTimes(self, p, mtime, atime):
+            pass  # the Hadoop base-class no-op
+
+        def create(self, p, overwrite=False):
+            self.files[self._k(p)] = self._now()
+
+            class _Out:
+                def close(self):
+                    pass
+
+            return _Out()
+
+    ffs = _NoSetTimesFS()
+    ffs.files["lk"] = 0
+    _renew_lock(ffs, "lk")
+    assert ffs.files["lk"] > 0
+
+
+def test_compact_skips_bucket_drifted_by_concurrent_merge(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r4 (low): a merge that passed its lock check before the
+    compactor's claim can append between the compactor's snapshot and
+    its swap. The swap must NOT replace such a bucket with the rewrite
+    (which lacks the new fragments) — the bucket stays live and the
+    appended rows survive."""
+    from triplestore_spark.streaming import ingest as ing
+
+    table_dir = str(tmp_path / "t")
+    path = os.path.join(table_dir, "triples.parquet")
+    for lo in (0, 20):
+        merge_batch_into_sink(_batch(spark, range(lo, lo + 20)), path, n_buckets=4)
+    base_keys = {
+        r["tkey"] for r in spark.read.parquet(path).select("tkey").collect()
+    }
+
+    late = _batch(spark, range(100, 104)).withColumn(
+        _BUCKET, bucket_expr(4)
+    )
+    late_keys = {r["tkey"] for r in late.select("tkey").collect()}
+    drifted = sorted(
+        f"{_BUCKET}={r[0]}" for r in late.select(_BUCKET).distinct().collect()
+    )
+
+    real_renew = ing._renew_lock
+    fired = {}
+
+    def sneaky_renew(fs, lock):
+        real_renew(fs, lock)
+        if not fired:
+            fired["x"] = True
+            # the in-flight merge's append commits here — after the
+            # compactor's snapshot+rewrite, before its swap
+            late.write.mode("append").partitionBy(_BUCKET).parquet(path)
+
+    monkeypatch.setattr(ing, "_renew_lock", sneaky_renew)
+    compact_sink(spark, table_dir)
+
+    out = spark.read.parquet(path)
+    got = {r["tkey"] for r in out.select("tkey").collect()}
+    assert got == base_keys | late_keys  # nothing dropped
+    assert fired
+    # the drifted buckets kept >1 fragment (not compacted this round);
+    # every untouched bucket was compacted to a single file
+    for b in glob.glob(os.path.join(path, f"{_BUCKET}=*")):
+        n = len(glob.glob(os.path.join(b, "*.parquet")))
+        if os.path.basename(b) in drifted:
+            assert n > 1, b
+        else:
+            assert n == 1, b
+    # a later quiet compaction fully compacts
+    compact_sink(spark, table_dir)
+    for b in glob.glob(os.path.join(path, f"{_BUCKET}=*")):
+        assert len(glob.glob(os.path.join(b, "*.parquet"))) == 1, b
+    assert {
+        r["tkey"]
+        for r in spark.read.parquet(path).select("tkey").collect()
+    } == base_keys | late_keys

