@@ -727,3 +727,79 @@ def test_context_encode_dispatch_boundary(spark):
         got = sorted(r["value"] for r in encode_df(df, ctx=ctx).collect())
         want = sorted(encode_triple_py(r, ctx)[:-1] for r in rows)
         assert got == want, n
+
+
+def test_split_coverage_manifest_merge_on_write(spark, tmp_path):
+    """VERDICT r4 #7: two concurrent readers verifying DISJOINT new
+    files must not drop each other's manifest entries — save merges
+    with the on-disk doc, newer mtime winning per-path conflicts."""
+    import json as _json
+
+    import triplestore_spark.sources.binary as B
+
+    loc = str(tmp_path / "_split_coverage.json")
+    # writer A lands first
+    B._save_coverage_manifest(
+        spark, loc, {"/d/a.bin": {"len": 10, "mtime": 100, "key": "s1.v4.w1"}}
+    )
+    # writer B loaded BEFORE A saved (its doc lacks a.bin) — the union
+    # must still keep A's entry
+    B._save_coverage_manifest(
+        spark, loc, {"/d/b.bin": {"len": 20, "mtime": 200, "key": "s1.v4.w1"}}
+    )
+    doc = _json.loads((tmp_path / "_split_coverage.json").read_text())
+    assert set(doc) == {"/d/a.bin", "/d/b.bin"}
+
+    # per-path conflict: an entry with OLDER mtime must not clobber a
+    # newer on-disk record; a newer one must
+    B._save_coverage_manifest(
+        spark, loc, {"/d/b.bin": {"len": 20, "mtime": 150, "key": "stale"}}
+    )
+    doc = _json.loads((tmp_path / "_split_coverage.json").read_text())
+    assert doc["/d/b.bin"]["mtime"] == 200
+    B._save_coverage_manifest(
+        spark, loc, {"/d/b.bin": {"len": 21, "mtime": 300, "key": "fresh"}}
+    )
+    doc = _json.loads((tmp_path / "_split_coverage.json").read_text())
+    assert doc["/d/b.bin"] == {"len": 21, "mtime": 300, "key": "fresh"}
+
+
+def test_split_coverage_always_ignores_manifest(spark, tmp_path, monkeypatch):
+    """ADVICE r4: verify_coverage='always' must run the proof on every
+    read — the manifest is neither read nor trusted (untrusted-store
+    mode) — and an unknown mode fails loudly."""
+    import pytest as _pytest
+
+    import triplestore_spark.sources.binary as B
+    from triplestore_spark.dsl import subj_pred, triples_to_df
+
+    df = triples_to_df(
+        spark, [subj_pred(f"s{i}", "p").integer_literal(i) for i in range(20)]
+    )
+    d = tmp_path / "bin"
+    d.mkdir()
+    (d / "a.bin").write_bytes(B.encode_binary_triples(df))
+
+    calls = []
+    real = B.scan_ranges
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(B, "scan_ranges", counting)
+
+    n1 = B.read_binary_split(spark, str(d), split_size=256).count()
+    assert len(calls) == 1 and (d / "_split_coverage.json").exists()
+    # amortized mode trusts the manifest...
+    B.read_binary_split(spark, str(d), split_size=256).count()
+    assert len(calls) == 1
+    # ...'always' re-proves despite a fully-covering manifest
+    n2 = B.read_binary_split(
+        spark, str(d), split_size=256, verify_coverage="always"
+    ).count()
+    assert len(calls) == 2
+    assert n1 == n2 == 20
+
+    with _pytest.raises(ValueError, match="verify_coverage"):
+        B.read_binary_split(spark, str(d), verify_coverage="sometimes")

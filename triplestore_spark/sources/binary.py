@@ -521,13 +521,30 @@ def _load_coverage_manifest(spark: SparkSession, loc: str) -> dict:
 
 
 def _save_coverage_manifest(spark: SparkSession, loc: str, doc: dict) -> None:
-    """Best-effort atomic write (tmp + rename). Read-only stores simply
-    don't amortize — verification already succeeded this run."""
+    """Best-effort atomic write (tmp + rename), MERGED with whatever is
+    on disk at save time: two concurrent readers verifying disjoint new
+    files would otherwise be last-writer-wins and silently drop each
+    other's entries (VERDICT r4 #7 — harmless for correctness, but it
+    re-pays the 2x IO the manifest exists to avoid). On a per-path
+    conflict the entry with the newer mtime wins (a re-verified changed
+    file beats a stale record regardless of write order). The re-read+
+    union is not transactional — a writer landing between our re-read
+    and rename can still be dropped; the window is now one small-file
+    write rather than the whole verification pass. Read-only stores
+    simply don't amortize — verification already succeeded this run."""
     from triplestore_spark.streaming.ingest import _hadoop_fs, fs_write_text
 
     try:
+        current = _load_coverage_manifest(spark, loc)
+        for path, ent in doc.items():
+            cur = current.get(path)
+            if (
+                not isinstance(cur, dict)
+                or cur.get("mtime", -1) <= ent.get("mtime", -1)
+            ):
+                current[path] = ent
         tmp = loc + ".tmp"
-        fs_write_text(spark, tmp, json.dumps(doc, sort_keys=True))
+        fs_write_text(spark, tmp, json.dumps(current, sort_keys=True))
         fs, jtmp = _hadoop_fs(spark, tmp)
         jloc = _hadoop_fs(spark, loc)[1]
         fs.delete(jloc, False)
@@ -543,7 +560,7 @@ def read_binary_split(
     split_size: int = 128 << 20,
     validate_records: int = 4,
     max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
-    verify_coverage: bool = True,
+    verify_coverage=True,
 ) -> DataFrame:
     """Record-boundary-splitting binary reader: ONE large .bin file
     parallelizes across tasks (read_binary's one-task-per-file cap —
@@ -593,14 +610,35 @@ def read_binary_split(
       later reads re-verify only files that are new or changed —
       steady-state re-reads of an immutable corpus cost zero extra
       scan instead of 2x IO. The manifest write is best-effort
-      (read-only stores just re-verify each run); a stale/broken
+      (read-only stores just re-verify each run) and MERGES with the
+      on-disk manifest at save time so concurrent readers verifying
+      disjoint files keep each other's entries; a stale/broken
       manifest re-verifies. Delete the manifest to force a full
-      re-proof."""
+      re-proof.
+    - TRUST CAVEAT (ADVICE r4): with the manifest, verify_coverage=
+      True means 'proven at least once for this (length, mtime,
+      params)' — the manifest itself is trusted verbatim, so a
+      hand-edited or attacker-writable manifest silently skips the
+      proof, and the read path writes the manifest into the source
+      directory as a side effect. For untrusted stores pass
+      verify_coverage='always': the proof runs unconditionally every
+      read (the pre-r4 guarantee) — the manifest is neither read nor
+      trusted, though a passing proof still records it for readers
+      that do amortize."""
+    if verify_coverage not in (True, False, "always"):
+        raise ValueError(
+            f"verify_coverage={verify_coverage!r} (use True, False or "
+            "'always')"
+        )
     files = _list_files(spark, path)
     if verify_coverage and files:
         ckey = _coverage_key(split_size, validate_records, max_word_bytes)
         loc = _manifest_location(spark, path)
-        manifest = _load_coverage_manifest(spark, loc)
+        manifest = (
+            {}
+            if verify_coverage == "always"
+            else _load_coverage_manifest(spark, loc)
+        )
         unverified = [
             (p, flen, mtime)
             for (p, flen, mtime) in files
