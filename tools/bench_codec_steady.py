@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--replicate", type=int, default=100)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--context",
+        action="store_true",
+        help="also time context encode on both sides of the "
+        "CONTEXT_UNROLL_MAX_PREFIXES dispatch (cap/cap+1/64 prefixes)",
+    )
     args = ap.parse_args()
 
     from triplestore_spark.operators.graph import dedup_triples
@@ -89,6 +95,47 @@ def main():
         "decode_tps_best": max(r["decode_tps"] for r in steady),
         "with_loadavg": open("/proc/loadavg").read().split()[0],
     }))
+
+    if args.context:
+        # VERDICT r4 #5: measure BOTH sides of the context-encode
+        # dispatch (ntriples.CONTEXT_UNROLL_MAX_PREFIXES): small
+        # prefix counts unroll into a codegen'd when-chain; above the
+        # cap the fold runs as F.aggregate — interpreted
+        # (CodegenFallback) but linear work and constant plan size.
+        # The r5 measurement moved the cap 6 -> 2: the unrolled
+        # chain's 3^n duplicated subtrees are a per-row cost, not just
+        # a plan-size one.
+        from triplestore_spark.sources.ntriples import (
+            CONTEXT_UNROLL_MAX_PREFIXES as _CAP,
+            nt_encode_context_expr,
+        )
+
+        for n_pref in (_CAP, _CAP + 1, 64):
+            ctx = {
+                "prefixes": {
+                    f"p{i:02d}": f"http://example.org/ns{i}/"
+                    for i in range(n_pref - 1)
+                }
+                | {"doc": "http://example.org/doc/"},  # one that matches
+                "base": "http://example.org/base/",
+            }
+            best = None
+            for _t in range(max(2, args.trials - 1)):
+                t0 = time.time()
+                big.select(nt_encode_context_expr(ctx).alias("v")).agg(
+                    F.max(F.length("v"))
+                ).collect()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            print(json.dumps({
+                "context_prefixes": n_pref,
+                "path": "codegen-unrolled"
+                if n_pref <= _CAP
+                else "interpreted-fold",
+                "encode_sec_best": round(best, 2),
+                "encode_tps_best": round(n / best, 1),
+                "with_loadavg": open("/proc/loadavg").read().split()[0],
+            }))
     spark.stop()
 
 

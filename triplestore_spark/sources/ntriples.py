@@ -662,15 +662,25 @@ def _quote_plus_expr(c: Column) -> Column:
 
 
 # Prefix count up to which the sequential fold unrolls into a
-# when/otherwise chain (whole-stage-codegen'd — the hot path for the
-# 2-5-prefix contexts real usage has). Each unrolled layer references
-# its accumulator three times, so the tree grows 3^n: 6 prefixes is
-# ~700 nodes per IRI position (fine); 64 prefixes OOMed the driver
-# while merely BUILDING the plan. Above the cap the fold runs as
-# F.aggregate over a literal array — a runtime higher-order function,
-# interpreted (CodegenFallback) but constant plan size. Both paths are
-# differentially locked against the golden encoder.
-CONTEXT_UNROLL_MAX_PREFIXES = 6
+# when/otherwise chain (whole-stage-codegen'd). Each unrolled layer
+# references its accumulator three times, so the expression tree grows
+# 3^n — which is not only a plan-size problem (64 prefixes OOMed the
+# driver while merely BUILDING the plan) but a PER-ROW cost: codegen
+# does not eliminate the duplicated subtrees, so evaluation work is
+# exponential in the prefix count too. Measured on 2.4M triples
+# (local[32], r5): unrolled vs F.aggregate fold = 3.6M vs 2.3M
+# triples/s at 1 prefix, ~even at 2, then the unrolled chain collapses
+# (2.7x slower at 4 prefixes, 11x at 6 — 0.19M vs 2.09M t/s). The
+# fold — a runtime higher-order function over a literal array,
+# interpreted (CodegenFallback) but linear work and constant plan
+# size — is therefore the default from 3 prefixes up; the unrolled
+# chain survives only where it actually wins. Both paths are
+# differentially locked against the golden encoder
+# (tests/test_codec.py dispatch-boundary test). History: the cap was 6
+# in r4 on the assumption codegen beats interpreted; the r5
+# measurement (VERDICT r4 #5, tools/bench_codec_steady.py --context)
+# inverted it.
+CONTEXT_UNROLL_MAX_PREFIXES = 2
 
 
 def _build_iri_expr(ctx: Optional[dict], c: Column) -> Column:
