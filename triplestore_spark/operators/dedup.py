@@ -364,6 +364,7 @@ def connected_components_star(
     pairs: DataFrame,
     max_iter: int = 20,
     on_nonconverged: str = "raise",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components — the
     O(log^2 n)-round algorithm (public: Kiveris et al., SoCC'14) for
@@ -378,7 +379,13 @@ def connected_components_star(
     difference — both sides deduped). Equivalence with label
     propagation is locked by tests/test_dataops.py on chains, stars,
     and seeded random graphs; a 200-node chain converges in ~5
-    alternating rounds here vs 200 label-propagation rounds."""
+    alternating rounds here vs 200 label-propagation rounds.
+
+    When a dict is passed as `stats`, it is filled with observability
+    counters after the run: 'rounds' (alternating large+small star
+    rounds executed, including the confirming round if taken),
+    'converged' (bool) — the scale artifacts log rounds against the
+    O(log^2 n) expectation."""
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"on_nonconverged={on_nonconverged!r}")
     nodes = (
@@ -396,8 +403,10 @@ def connected_components_star(
     prev = None
     prev_count = -1
     converged = False
+    rounds = 0
     for _i in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
         cnt = edges.count()
         if prev is not None and cnt == prev_count:
             if edges.exceptAll(prev).limit(1).count() == 0:
@@ -410,12 +419,16 @@ def connected_components_star(
         # one extra alternating round before failing, mirroring
         # connected_components' boundary handling
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
         if (
             new_edges.count() == prev_count
             and new_edges.exceptAll(edges).limit(1).count() == 0
         ):
             converged = True
         edges = new_edges
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         msg = (
             f"connected_components_star did not converge in {max_iter} "
