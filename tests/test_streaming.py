@@ -618,3 +618,117 @@ def test_compact_skips_bucket_drifted_by_concurrent_merge(
         r["tkey"]
         for r in spark.read.parquet(path).select("tkey").collect()
     } == base_keys | late_keys
+
+
+def test_renew_lock_rewrites_when_mtime_does_not_advance(spark, tmp_path):
+    """Review r5: the renewal check must compare against the PRE-CALL
+    mtime — a fixed 'recent enough' window falsely accepts a no-op
+    setTimes whenever the lock is younger than the window, leaving the
+    lease unrenewed exactly when a short lease needs it."""
+    import time
+
+    from triplestore_spark.streaming.ingest import _renew_lock
+
+    class _NoSetTimesFS(_FakeFS):
+        def setTimes(self, p, mtime, atime):
+            pass  # the Hadoop base-class no-op
+
+        def create(self, p, overwrite=False):
+            self.files[self._k(p)] = self._now()
+
+            class _Out:
+                def close(self):
+                    pass
+
+            return _Out()
+
+    fs = _NoSetTimesFS()
+    # a FRESH lock (5s old) on a no-op-setTimes store: the old 60s
+    # tolerance would return without renewing
+    before = int(time.time() * 1000) - 5_000
+    fs.files["lk"] = before
+    _renew_lock(fs, "lk")
+    assert fs.files["lk"] > before
+
+
+def test_lock_is_live_counts_inflight_reclaim_probe(spark, tmp_path):
+    """Review r5: a reclaimer that moved a rival's FRESH lock aside
+    must not leave the sink observably unlocked — a young
+    `<lock>.reclaim.<uuid>` probe counts as the lock being held; an
+    expired probe does not, and recover_sink clears it."""
+    import time
+
+    from triplestore_spark.streaming.ingest import (
+        _LOCK_SUFFIX,
+        _hadoop_fs,
+        _lock_is_live,
+        merge_batch_into_sink,
+        recover_sink,
+    )
+
+    path = str(tmp_path / "sink.parquet")
+    merge_batch_into_sink(_batch(spark, range(10)), path, n_buckets=4)
+    lock = path + _LOCK_SUFFIX
+    fs, jlock = _hadoop_fs(spark, lock)
+
+    probe = lock + ".reclaim.deadbeef"
+    open(probe, "w").close()
+    assert _lock_is_live(fs, jlock, 60_000)  # no lock file, live probe
+    # merges observe the probe as the lock being held
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="single-writer"):
+        merge_batch_into_sink(_batch(spark, range(10, 20)), path, n_buckets=4)
+
+    t = time.time() - 120
+    os.utime(probe, (t, t))
+    assert not _lock_is_live(fs, jlock, 60_000)  # expired probe
+    # crash litter cleared once past the (same) lease recover honors
+    assert recover_sink(spark, path, lock_lease_ms=60_000)
+    assert not os.path.exists(probe)
+
+
+def test_compact_recovers_fragment_appended_after_relist(
+    spark, tmp_path, monkeypatch
+):
+    """Review r5: an append committing BETWEEN the per-bucket re-list
+    and the rename rides into ._old with the bucket — the swap must
+    move it back into the live bucket instead of deleting it with
+    ._old (the silent exactly-once violation the re-list alone left
+    open)."""
+    import shutil
+
+    from triplestore_spark.streaming import ingest as ing
+
+    table_dir = str(tmp_path / "t")
+    path = os.path.join(table_dir, "triples.parquet")
+    for lo in (0, 20):
+        merge_batch_into_sink(_batch(spark, range(lo, lo + 20)), path, n_buckets=4)
+    base_keys = {
+        r["tkey"] for r in spark.read.parquet(path).select("tkey").collect()
+    }
+
+    real_rename = ing._rename_or_raise
+    state = {}
+
+    def racing_rename(fs, src, dst):
+        # the racer lands in the live bucket AFTER the re-list (which
+        # already ran) and JUST BEFORE the live->._old rename executes
+        if "._old/" in str(dst) + "/" and not state:
+            frags = glob.glob(os.path.join(str(src), "*.parquet"))
+            racer = os.path.join(str(src), "part-racer.parquet")
+            shutil.copy(frags[0], racer)
+            state["bucket"] = os.path.basename(str(src))
+        return real_rename(fs, src, dst)
+
+    monkeypatch.setattr(ing, "_rename_or_raise", racing_rename)
+    compact_sink(spark, table_dir)
+
+    assert state, "hook never fired"
+    recovered = os.path.join(path, state["bucket"], "part-racer.parquet")
+    assert os.path.exists(recovered), "racer fragment was destroyed"
+    assert not os.path.exists(path + "._old")
+    # the duplicate rows the racer carries collapse on tkey — the sink
+    # stays canonical under read_sink-style dedup reads
+    out = spark.read.parquet(path)
+    assert {r["tkey"] for r in out.select("tkey").collect()} == base_keys

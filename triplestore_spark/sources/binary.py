@@ -560,7 +560,7 @@ def read_binary_split(
     split_size: int = 128 << 20,
     validate_records: int = 4,
     max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
-    verify_coverage=True,
+    verify_coverage: bool | str = True,
 ) -> DataFrame:
     """Record-boundary-splitting binary reader: ONE large .bin file
     parallelizes across tasks (read_binary's one-task-per-file cap —

@@ -127,11 +127,18 @@ def merge_batch_into_sink(
     This guard is ONE-DIRECTIONAL (ADVICE r4): it stops a merge from
     starting while a compaction runs, but a merge that passed this
     check can still commit its append AFTER a just-started compactor
-    snapshotted the sink. That direction is closed on the compactor's
-    side: compact_sink re-lists each bucket's fragment set immediately
-    before swapping it and leaves any drifted bucket live
-    (uncompacted but correct) rather than swapping in a rewrite that
-    lacks the new fragments. `lock_lease_ms` must match the value the
+    snapshotted the sink. The compactor's side defends in depth:
+    compact_sink re-lists each bucket's fragment set immediately
+    before swapping it (a drifted bucket stays live, uncompacted but
+    correct), and any fragment that commits between that re-list and
+    the rename rides into ._old and is moved back into the live
+    bucket before ._old is discarded. Residual exposure: an append
+    whose committer re-creates the bucket directory in the instant
+    the directory is absent between the swap's two renames — a
+    sub-millisecond window that additionally requires the merge to
+    have begun before the compactor's claim; stores needing a hard
+    transactional guarantee should use Iceberg MERGE
+    (operators/iceberg.py). `lock_lease_ms` must match the value the
     sink's compactors use (see COMPACTION_LOCK_LEASE_MS)."""
     spark = batch_df.sparkSession
     fs, _ = _hadoop_fs(spark, data_path)
@@ -245,18 +252,34 @@ def _lock_is_live(fs, lock, lease_ms: int) -> bool:
     (FS modification time — same clock domain as the lock writer on
     HDFS; document skew if compactors run off-cluster). A lock deleted
     between the existence check and the stat (concurrent recover) is
-    simply not live."""
+    simply not live.
+
+    An in-flight reclaim probe (`<lock>.reclaim.<uuid>`, see
+    _claim_compaction_lock) with a FRESH mtime also counts as the lock
+    being held: a reclaimer that renamed a rival's fresh lock aside
+    has not released the sink — until the probe is restored or
+    replaced, observers must not treat the sink as unlocked (review
+    r5: without this, the stat->rename->restore window — or a
+    reclaimer crash inside it — left a LIVE compactor observably
+    lock-less). A probe moved from a genuinely expired lock keeps the
+    old mtime (rename preserves it) and so does not read as live."""
     import time
 
+    now_ms = int(time.time() * 1000)
     try:
-        if not fs.exists(lock):
-            return False
-        age_ms = int(time.time() * 1000) - fs.getFileStatus(
-            lock
-        ).getModificationTime()
+        if fs.exists(lock):
+            age = now_ms - fs.getFileStatus(lock).getModificationTime()
+            if age < lease_ms:
+                return True
     except Exception:  # noqa: BLE001 - vanished mid-check == no lock
-        return False
-    return age_ms < lease_ms
+        pass
+    try:
+        for st in fs.globStatus(lock.suffix(".reclaim.*")) or []:
+            if now_ms - st.getModificationTime() < lease_ms:
+                return True
+    except Exception:  # noqa: BLE001 - probe vanished == not held
+        pass
+    return False
 
 
 def recover_sink(
@@ -320,6 +343,21 @@ def recover_sink(
         # lock is cleared
         fs.delete(stale_lock, False)
         acted = True
+    if not _force:
+        # expired reclaim probes: a reclaimer that crashed between its
+        # rename and restore/claim leaves `<lock>.reclaim.<uuid>`
+        # behind; while younger than the lease it counts as the lock
+        # being held (_lock_is_live), after that it is crash litter
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        try:
+            for st in fs.globStatus(stale_lock.suffix(".reclaim.*")) or []:
+                if now_ms - st.getModificationTime() >= lock_lease_ms:
+                    fs.delete(st.getPath(), False)
+                    acted = True
+        except Exception:  # noqa: BLE001 - probe vanished mid-walk
+            pass
     return acted
 
 
@@ -378,16 +416,20 @@ def _claim_compaction_lock(fs, spark, data_path: str, lock, lease_ms: int):
 def _renew_lock(fs, lock) -> None:
     """Advance the lock's mtime so the lease stays live. fs.setTimes
     is a SILENT NO-OP on FileSystem implementations that don't
-    override the empty base-class method (ADVICE r4), so the new mtime
-    is verified and, when it did not advance, the lock file is
-    re-written in place (we own it — overwrite is safe) which bumps
-    mtime on any store."""
+    override the empty base-class method (ADVICE r4), so the check is
+    against the PRE-CALL mtime — it must strictly advance (a fixed
+    'recent enough' window would falsely accept the no-op whenever the
+    lock is younger than the window — review r5). When it did not
+    advance, the lock file is re-written in place (we own it —
+    overwrite is safe), which bumps mtime on any store and also
+    re-creates the lock if a racing reclaimer moved it aside."""
     import time
 
     now = int(time.time() * 1000)
     try:
+        before = fs.getFileStatus(lock).getModificationTime()
         fs.setTimes(lock, now, -1)
-        if fs.getFileStatus(lock).getModificationTime() >= now - 60_000:
+        if fs.getFileStatus(lock).getModificationTime() > before:
             return
     except Exception:  # noqa: BLE001 - fall through to rewrite
         pass
@@ -439,9 +481,13 @@ def compact_sink(
     this lock is live, but a merge that passed its check just before
     our claim may commit an append after we snapshot the sink. Each
     bucket's fragment set is therefore re-listed immediately before
-    its swap; a drifted bucket is left live — correct and fresh, just
-    not compacted this round. `lock_lease_ms` must match the value
-    merges use on this sink (COMPACTION_LOCK_LEASE_MS discussion)."""
+    its swap — a drifted bucket is left live (correct and fresh, just
+    not compacted this round) — and fragments that commit between the
+    re-list and the rename ride into ._old and are moved back into
+    the live bucket before ._old is deleted. See
+    merge_batch_into_sink for the residual sub-millisecond window.
+    `lock_lease_ms` must match the value merges use on this sink
+    (COMPACTION_LOCK_LEASE_MS discussion)."""
     import os
 
     data_path = os.path.join(table_dir, "triples.parquet")
@@ -486,7 +532,8 @@ def compact_sink(
         fs.mkdirs(old)
         for name in _bucket_dirs(fs, tmp):
             live = _jpath(spark, data_path + "/" + name)
-            if fs.exists(live):
+            had_live = fs.exists(live)
+            if had_live:
                 # re-list THIS bucket immediately before its rename:
                 # fragments appended after our snapshot mean the
                 # rewrite in tmp lacks them — swapping would drop that
@@ -502,6 +549,29 @@ def compact_sink(
                     fs, live, _jpath(spark, old_path + "/" + name)
                 )
             _rename_or_raise(fs, _jpath(spark, tmp_path + "/" + name), live)
+            if had_live:
+                # an append that committed between the re-list above
+                # and the rename rode into ._old with the bucket —
+                # move any file NOT in our re-listing back into the
+                # (now compacted) live bucket before ._old is
+                # discarded (review r5: without this the window,
+                # though tiny, destroyed the batch silently)
+                known = set(now_files)
+                for st in fs.listStatus(
+                    _jpath(spark, old_path + "/" + name)
+                ):
+                    fname = st.getPath().getName()
+                    if (
+                        not fname.startswith(("_", "."))
+                        and fname not in known
+                    ):
+                        _rename_or_raise(
+                            fs,
+                            st.getPath(),
+                            _jpath(
+                                spark, data_path + "/" + name + "/" + fname
+                            ),
+                        )
         fs.delete(old, True)
         fs.delete(tmp, True)
     finally:
