@@ -355,6 +355,81 @@ def test_textstats_shapes(docs):
     assert fingerprint(docs).select("fp").distinct().count() <= n
 
 
+def test_doc_stats_matches_components(docs):
+    """The folded seven-column gate equals its three component ops
+    column-for-column (the fold freed driver slots, not coverage)."""
+    from triplestore_spark.operators.textstats import (
+        doc_stats,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    ds = {r["doc_id"]: r.asDict() for r in doc_stats(docs).collect()}
+    for r in token_count(docs).collect():
+        for c in ("n_tokens", "n_distinct_tokens", "n_subwords_est"):
+            assert ds[r["doc_id"]][c] == r[c]
+    for r in lang_id(docs).collect():
+        assert ds[r["doc_id"]]["stopword_ratio"] == r["stopword_ratio"]
+        assert ds[r["doc_id"]]["pred_lang"] == r["pred_lang"]
+    for r in quality_score(docs).collect():
+        assert ds[r["doc_id"]]["quality"] == r["quality"]
+
+
+def _py_dup_ratio(items):
+    return round(1 - len(set(items)) / len(items), 6) if items else 0.0
+
+
+def test_repetition_signals_exact(spark):
+    """Hand-computed duplicate token/2-gram/3-gram fractions, including
+    the short-doc guards (1- and 2-token docs must score 0.0 for the
+    gram sizes they cannot form — Spark's sequence() DESCENDS for
+    negative spans, so the guard is load-bearing)."""
+    from triplestore_spark.operators.textstats import repetition_signals
+
+    texts = {
+        1: "x x x x",
+        2: "a b a b a",
+        3: "one",
+        4: "two two",
+        5: "a b c d e f",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    for i, t in texts.items():
+        toks = t.split(" ")
+        g2 = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        g3 = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        assert got[i]["dup_token_ratio"] == _py_dup_ratio(toks), i
+        assert got[i]["dup_2gram_ratio"] == _py_dup_ratio(g2), i
+        assert got[i]["dup_3gram_ratio"] == _py_dup_ratio(g3), i
+
+
+def test_boilerplate_ngrams_planted(spark):
+    """Planted shared 3-gram across docs 1/2; doc 3 all-unique; doc 4
+    too short for any gram (no row, as in the oracle's UNNEST)."""
+    from triplestore_spark.operators.textstats import boilerplate_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s t"),        # grams: pqr qrs rst
+            (2, "z p q r y"),        # grams: zpq pqr qry -> shares pqr
+            (3, "m n o"),            # gram: mno (unique)
+            (4, "a b"),              # no 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in boilerplate_ngrams(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_grams"] == 3 and got[1]["n_flagged"] == 1
+    assert got[2]["n_grams"] == 3 and got[2]["n_flagged"] == 1
+    assert got[3]["n_grams"] == 1 and got[3]["n_flagged"] == 0
+    assert got[1]["flagged_ratio"] == round(1 / 3, 6)
+    assert got[3]["flagged_ratio"] == 0.0
+
+
 def test_filter_documents_gates(docs):
     from triplestore_spark.operators.textstats import (
         filter_documents,

@@ -138,6 +138,23 @@ def test_lsh_topk_bucket_shuffle_excludes_vectors(spark, sf_dir):
             assert "nvec" not in line and "qvec" not in line, line
 
 
+def test_boilerplate_shuffles_exclude_text(spark, sf_dir):
+    """Both boilerplate_ngrams shuffles (gram doc-count, join back)
+    must move only (doc_id, md5-gram) rows: grams are hashed BEFORE
+    the explode, so no Exchange ever carries the `text` column — at
+    corpus scale that is the difference between shuffling 16-byte keys
+    and shuffling the corpus n times."""
+    import os
+
+    from triplestore_spark.operators.textstats import boilerplate_ngrams
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = plan_str(boilerplate_ngrams(docs))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
 def test_binary_split_ranges_spread_tasks(spark, tmp_path):
     """The split reader's range table must round-robin across tasks
     (one range per task), not collapse into one partition."""

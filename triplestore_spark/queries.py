@@ -580,17 +580,29 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
 
     from triplestore_spark.operators import textstats as TS
 
-    q["ts_token_count"] = (
-        lambda spark, sf: TS.token_count(_read(spark, sf, "documents")),
-        TS.TOKEN_COUNT_SQL,
+    q["ts_doc_stats"] = (
+        # token_count + lang_id + quality folded into ONE seven-column
+        # gate (VERDICT r4 #8): same checked columns, two driver slots
+        # freed for ts_repetition / ts_boilerplate_ngrams below
+        lambda spark, sf: TS.doc_stats(_read(spark, sf, "documents")),
+        TS.DOC_STATS_SQL,
     )
-    q["ts_lang_id"] = (
-        lambda spark, sf: TS.lang_id(_read(spark, sf, "documents")),
-        TS.LANG_ID_SQL,
+    q["ts_repetition"] = (
+        # Gopher-style duplicate token/2-gram/3-gram fractions — the
+        # standard degenerate-repetition screen; per-row array exprs,
+        # no shuffle
+        lambda spark, sf: TS.repetition_signals(
+            _read(spark, sf, "documents")
+        ),
+        TS.REPETITION_SQL,
     )
-    q["ts_quality"] = (
-        lambda spark, sf: TS.quality_score(_read(spark, sf, "documents")),
-        TS.QUALITY_SQL,
+    q["ts_boilerplate_ngrams"] = (
+        # C4-style cross-document n-gram flagging (boilerplate /
+        # decontamination): md5'd 3-grams, 16-byte-key shuffles only
+        lambda spark, sf: TS.boilerplate_ngrams(
+            _read(spark, sf, "documents")
+        ),
+        TS.boilerplate_ngrams_sql(),
     )
     q["ts_fingerprint"] = (
         lambda spark, sf: TS.fingerprint(_read(spark, sf, "documents")),
