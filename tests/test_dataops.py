@@ -360,12 +360,15 @@ def test_doc_stats_matches_components(docs):
     column-for-column (the fold freed driver slots, not coverage)."""
     from triplestore_spark.operators.textstats import (
         doc_stats,
+        fingerprint,
         lang_id,
         quality_score,
         token_count,
     )
 
     ds = {r["doc_id"]: r.asDict() for r in doc_stats(docs).collect()}
+    for r in fingerprint(docs).collect():
+        assert ds[r["doc_id"]]["fp"] == r["fp"]
     for r in token_count(docs).collect():
         for c in ("n_tokens", "n_distinct_tokens", "n_subwords_est"):
             assert ds[r["doc_id"]][c] == r[c]
@@ -405,6 +408,46 @@ def test_repetition_signals_exact(spark):
         assert got[i]["dup_token_ratio"] == _py_dup_ratio(toks), i
         assert got[i]["dup_2gram_ratio"] == _py_dup_ratio(g2), i
         assert got[i]["dup_3gram_ratio"] == _py_dup_ratio(g3), i
+
+
+def test_stratified_sample_deterministic_and_rates(docs):
+    """The hash-draw sample must be exactly reproducible (same ids on
+    re-evaluation AND under a different partitioning — the property
+    df.sample lacks), honor fraction 0 (absent sources dropped), and
+    land near the requested rate per source."""
+    from triplestore_spark.operators.textstats import stratified_sample
+
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    ids1 = {r["doc_id"] for r in stratified_sample(docs, fr).collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(7), fr).collect()
+    }
+    assert ids1 == ids2 and ids1
+
+    by_src = {
+        r["source"]: r["n"]
+        for r in stratified_sample(docs, fr)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("src0", 0) == totals["src0"]  # fraction 1.0 == all
+    assert "src2" not in by_src  # fraction 0.0 == none
+    assert set(by_src) <= {"src0", "src1"}  # unlisted sources dropped
+    # binomial tolerance at n=25..250 per source: just sanity-band 0.5
+    rate = by_src.get("src1", 0) / totals["src1"]
+    assert 0.2 <= rate <= 0.8, rate
+
+    # a different seed draws a different cut (not a degenerate hash)
+    ids3 = {
+        r["doc_id"] for r in stratified_sample(docs, fr, seed=7).collect()
+    }
+    assert ids3 != ids1
 
 
 def test_boilerplate_ngrams_planted(spark):

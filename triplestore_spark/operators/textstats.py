@@ -65,12 +65,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def doc_stats(docs: DataFrame) -> DataFrame:
-    """One-pass union of token_count + lang_id + quality_score: all
-    seven stat columns from a single scan (Catalyst fuses the shared
-    subexpressions; none of the three component ops shuffles, so
-    neither does the union). The registry gates this ONE query instead
-    of three trivially-green singles (VERDICT r4 #8 — frees driver
-    slots without losing any checked column)."""
+    """One-pass union of token_count + lang_id + quality_score +
+    fingerprint: all eight stat columns from a single scan (Catalyst
+    fuses the shared subexpressions; none of the four component ops
+    shuffles, so neither does the union). The registry gates this ONE
+    query instead of four trivially-green singles (VERDICT r4 #8 —
+    frees driver slots without losing any checked column)."""
     toks = tokens_col()
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     ratio = n_stop / F.size(toks)
@@ -88,6 +88,7 @@ def doc_stats(docs: DataFrame) -> DataFrame:
             + 0.5 * (F.size(F.array_distinct(toks)) / F.size(toks)),
             6,
         ).alias("quality"),
+        F.md5(F.lower(F.col("text"))).alias("fp"),
     )
 
 
@@ -234,6 +235,66 @@ def filter_documents_sql(
                      >= {LANG_ID_THRESHOLD}
                 THEN 'en' ELSE 'unk' END) IN ({lang_list})
       AND len(string_split(text, ' ')) BETWEEN {min_tokens} AND {max_tokens}
+    """
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 42,
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source corpus sampling — the MIXING step of a
+    pretraining pipeline (upweight/downweight each source to hit a
+    target token budget). A document is kept iff
+    uniform_hash(doc_id, seed) < fraction[its source]; sources absent
+    from `fractions` are dropped (fraction 0.0).
+
+    Spark's df.sample is seeded per-PARTITION, so its row set changes
+    with the physical plan — useless for reproducible corpus cuts and
+    impossible to oracle. This uses the first 8 hex chars of
+    md5(doc_id:seed) as a uniform draw in [0, 2^32): bit-identical in
+    Spark (conv base 16->10) and DuckDB (hex cast), invariant under
+    repartitioning, and stable across engines and runs, so the exact
+    same corpus cut is reproducible anywhere. Pure Catalyst filter
+    against a small literal CASE on the source column — no shuffle, no
+    UDF; at 100 TB this is a scan-speed funnel like ts_filter."""
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(f":{seed}")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    frac = F.lit(0.0)
+    for src, f_keep in sorted(fractions.items()):
+        frac = F.when(F.col(source_col) == src, F.lit(f_keep)).otherwise(
+            frac
+        )
+    return docs.where(draw < frac)
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float], seed: int = 42, source_col: str = "source"
+) -> str:
+    cases = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {f_keep}"
+        for src, f_keep in sorted(fractions.items())
+    )
+    return f"""
+    SELECT * FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'),
+                               1, 8)) AS UBIGINT) / 4294967296.0
+          < (CASE {cases} ELSE 0.0 END)
     """
 
 
@@ -393,7 +454,8 @@ SELECT doc_id,
        round(0.5 * least(1.0, n_chars / 500.0)
              + 0.5 * (len(list_distinct(string_split(text, ' ')))
                       / CAST(len(string_split(text, ' ')) AS DOUBLE)),
-             6) AS quality
+             6) AS quality,
+       md5(lower(text)) AS fp
 FROM documents
 """
 
@@ -418,7 +480,8 @@ SELECT doc_id,
        round(0.5 * least(1.0, n_chars / 500.0)
              + 0.5 * (len(list_distinct(string_split(text, ' ')))
                       / CAST(len(string_split(text, ' ')) AS DOUBLE)),
-             6) AS quality
+             6) AS quality,
+       md5(lower(text)) AS fp
 FROM documents
 """
 

@@ -581,9 +581,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     from triplestore_spark.operators import textstats as TS
 
     q["ts_doc_stats"] = (
-        # token_count + lang_id + quality folded into ONE seven-column
-        # gate (VERDICT r4 #8): same checked columns, two driver slots
-        # freed for ts_repetition / ts_boilerplate_ngrams below
+        # token_count + lang_id + quality + fingerprint folded into
+        # ONE eight-column gate (VERDICT r4 #8): same checked columns,
+        # three driver slots freed for ts_repetition /
+        # ts_boilerplate_ngrams / ts_sample below
         lambda spark, sf: TS.doc_stats(_read(spark, sf, "documents")),
         TS.DOC_STATS_SQL,
     )
@@ -604,9 +605,17 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         TS.boilerplate_ngrams_sql(),
     )
-    q["ts_fingerprint"] = (
-        lambda spark, sf: TS.fingerprint(_read(spark, sf, "documents")),
-        TS.FINGERPRINT_SQL,
+    q["ts_sample"] = (
+        # deterministic stratified corpus sampling (the source-MIXING
+        # step): md5-hash draw, bit-identical Spark/DuckDB, invariant
+        # under repartitioning — unlike df.sample's per-partition seed
+        lambda spark, sf: TS.stratified_sample(
+            _read(spark, sf, "documents"),
+            {"src0": 0.9, "src1": 0.6, "src2": 0.3, "src3": 0.1},
+        ),
+        TS.stratified_sample_sql(
+            {"src0": 0.9, "src1": 0.6, "src2": 0.3, "src3": 0.1}
+        ),
     )
 
     q["ts_bpe_tokens"] = (
