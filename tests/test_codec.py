@@ -339,6 +339,57 @@ def test_w3c_positives_batch_path(path):
     assert parse_nt_batch(lines) == slow
 
 
+def test_jvm_fast_decode_differential(spark):
+    """The Catalyst decode path (regexp_replace -> split -> when
+    assembly) must produce IDENTICAL rows to the Arrow/RE2 path on
+    every W3C positive fixture AND the adversarial quarantine corpus
+    (PERMISSIVE: both paths skip the genuinely-bad lines) — full
+    nine-column comparison, not just tkey."""
+    from triplestore_spark.sources.ntriples import decode_lines_df
+
+    lines = []
+    for path in sorted(
+        glob.glob(os.path.join(FIXTURES, "w3c_suite", "positives", "*.nt"))
+    ) + [os.path.join(FIXTURES, "nt_quarantine_corpus.nt")]:
+        text = open(path, encoding="utf-8").read()
+        lines += [ln.rstrip("\r") for ln in text.split("\n")]
+    # raw control-delimiter lines must route to the slow branch, not
+    # corrupt the fast one
+    lines += ['<http://a> <http://p> "has\x01ctl" .']
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    cols = [
+        "subject", "subject_is_bnode", "predicate", "object_kind",
+        "object_value", "object_type", "object_lang", "okey", "tkey",
+    ]
+
+    def rows(jvm):
+        out = decode_lines_df(df, mode="PERMISSIVE", jvm_fast=jvm)
+        return sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+    a, b = rows(True), rows(False)
+    assert a == b, sorted(set(a) ^ set(b))[:5]
+
+
+def test_jvm_fast_grammar_covers_encoder_output(spark):
+    """Every encoder-emitted line must match the Java-regex grammar
+    (slow-branch row count 0 on clean corpora) — otherwise the
+    codegen fast path silently degrades to the Python boundary."""
+    from triplestore_spark.sources.ntriples import (
+        _JVM_CTL,
+        _JVM_LINE_PATTERN,
+        _JVM_REPL,
+        encode_df,
+    )
+    from pyspark.sql import functions as F
+
+    enc = encode_df(triples_to_df(spark, CORPUS))
+    r = enc.withColumn(
+        "_r", F.regexp_replace(F.col("value"), _JVM_LINE_PATTERN, _JVM_REPL)
+    )
+    rejected = r.where(~F.contains(F.col("_r"), F.lit(_JVM_CTL))).count()
+    assert rejected == 0
+
+
 def test_binary_split_coverage_verification(spark, tmp_path):
     """verify_binary_coverage must pass on a healthy file and raise on
     trailing garbage that no range can attribute to a record (the one
