@@ -640,7 +640,12 @@ def decode_lines_quarantine(
     and samplable instead of silently dropped.
 
     Both outputs share one parse lineage; cache `lines` upstream if
-    both will be consumed (two actions = two scans otherwise)."""
+    both will be consumed (two actions = two scans otherwise).
+
+    Same Arrow-batch hot path as decode_lines_df (RE2 extract_regex +
+    vectorized assembly; only grammar-rejected lines hit the Python
+    state machine), so keeping the quarantine costs nothing on the
+    clean 99%."""
     from pyspark.sql import types as T
 
     trimmed = F.ltrim(F.col(col))
@@ -662,23 +667,49 @@ def decode_lines_quarantine(
     blank = ("", False, "", "", "", "", "")
 
     def _parse_batches(it: Iterator) -> Iterator:
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        parse = parse_nt_line_fast
-        names = list(S.TRIPLE_FIELDS) + ["_line", "_source_file", "_error"]
-        for pdf in it:
+        arrow_schema = pa.schema(
+            [pa.field(f.name, pa.bool_() if f.name == "subject_is_bnode"
+                      else pa.string())
+             for f in full_schema.fields]
+        )
+        def _nulls(n):
+            return pa.nulls(n, type=pa.string())
+
+        for batch in it:
+            vals = batch.column(0)
+            cols_f, valid = _vectorized_parse(vals)
+            if len(cols_f[0]):
+                n_ok = len(cols_f[0])
+                yield pa.RecordBatch.from_arrays(
+                    list(cols_f) + [_nulls(n_ok)] * 3, schema=arrow_schema
+                )
+            if len(cols_f[0]) == len(vals):
+                continue
+            inv = pc.invert(valid)
+            bad_lines = pc.filter(vals, inv).to_pylist()
+            bad_srcs = pc.filter(batch.column(1), inv).to_pylist()
             rows = []
-            for line, src in zip(pdf["value"], pdf["_src"]):
+            for line, src in zip(bad_lines, bad_srcs):
                 try:
-                    row = parse(line)
+                    row = parse_nt_line(line.lstrip(" \t"))
                 except NTParseError as e:
                     rows.append(blank + (line, src, str(e)))
                     continue
                 if row is not None:
                     rows.append(row + (None, None, None))
-            yield pd.DataFrame(rows, columns=names)
+            if rows:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([r[i] for r in rows], type=fld.type)
+                        for i, fld in enumerate(arrow_schema)
+                    ],
+                    schema=arrow_schema,
+                )
 
-    parsed = pruned.mapInPandas(_parse_batches, schema=full_schema)
+    parsed = pruned.mapInArrow(_parse_batches, schema=full_schema)
     good = with_keys(
         parsed.where(F.col("_error").isNull()).select(*S.TRIPLE_FIELDS)
     )
