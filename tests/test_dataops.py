@@ -450,6 +450,99 @@ def test_stratified_sample_deterministic_and_rates(docs):
     assert ids3 != ids1
 
 
+def test_redact_pii_planted(spark):
+    """Exact expected redactions: email, IPv4, phone-shaped run, and
+    a clean row; n_redacted counts the placeholders inserted."""
+    from triplestore_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "contact bob@example.com or 192.168.0.1 now", "en", "src0", 42),
+        (2, "call +1 (555) 123-4567 today", "en", "src0", 28),
+        (3, "clean text with no identifiers at all", "en", "src1", 37),
+        (4, "two mails a@b.co c@d.org and ip 10.0.0.255", "en", "src1", 42),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: (r["text"], r["n_redacted"])
+           for r in redact_pii(df).collect()}
+    assert got[1] == ("contact <EMAIL> or <IP> now", 2)
+    assert got[2] == ("call <PHONE> today", 1)
+    assert got[3] == ("clean text with no identifiers at all", 0)
+    assert got[4] == ("two mails <EMAIL> <EMAIL> and ip <IP>", 3)
+
+
+def test_redact_pii_engine_agreement(spark):
+    """Spark (java.util.regex) and DuckDB (RE2) must agree exactly on
+    the dialect-neutral PII patterns — planted PII rows plus the real
+    sf0.001 corpus."""
+    import duckdb
+
+    from triplestore_spark.operators.textstats import (
+        redact_pii,
+        redact_pii_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    planted = [
+        (90001, "mail x.y+z@sub.example.org mid-line", "en", "srcp", 35),
+        (90002, "ips 8.8.8.8 and 255.255.255.255, tel 555-123-9876", "en", "srcp", 49),
+        (90003, "no-pii control row", "en", "srcp", 18),
+    ]
+    base = spark.read.parquet(path)
+    df = base.unionByName(
+        spark.createDataFrame(planted, base.schema)
+    )
+    a = sorted(
+        (r["doc_id"], r["text"], r["n_redacted"])
+        for r in redact_pii(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{path}') "
+        f"UNION ALL FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', '{lang}', '{src}', {nc})"
+            for i, t, lang, src, nc in planted
+        )
+        + ") v(doc_id, text, lang, source, n_chars)"
+    )
+    b = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT doc_id, text, n_redacted FROM ("
+            + redact_pii_sql()
+            + ")"
+        ).fetchall()
+    )
+    assert a == b
+
+
+def test_decontaminate_planted(spark):
+    """A doc sharing an 8-gram with the eval set is dropped with the
+    hit counted; shorter-than-n and non-overlapping docs stay."""
+    from triplestore_spark.operators.textstats import decontaminate
+
+    gram = "the quick brown fox jumps over the lazy"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words then {gram} dog outro"),
+            (2, "completely unrelated text that shares nothing at all with it"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, f"eval question: {gram} dog. answer: yes")],
+        "doc_id long, text string",
+    )
+    clean, contaminated = decontaminate(docs, eval_docs, n=8)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+    hits = {r["doc_id"]: r["n_hits"] for r in contaminated.collect()}
+    assert set(hits) == {1} and hits[1] >= 1
+
+
 def test_boilerplate_ngrams_planted(spark):
     """Planted shared 3-gram across docs 1/2; doc 3 all-unique; doc 4
     too short for any gram (no row, as in the oracle's UNNEST)."""

@@ -180,6 +180,107 @@ def boilerplate_ngrams(
     )
 
 
+# PII patterns kept dialect-neutral (java.util.regex AND RE2/DuckDB
+# compatible: no lookaround, no backrefs) so the engine-agreement test
+# can pin Spark == DuckDB on the same corpus. Order matters: emails
+# first (their digits must not be eaten by the phone pattern), then
+# IPv4 (dotted digits would otherwise match the phone shape), then
+# phone-shaped digit runs.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]\b", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction screen of a pretraining pipeline
+    (emails / IPv4 / phone-shaped digit runs replaced by typed
+    placeholder tokens). Counts are taken per pattern BEFORE its
+    replacement (regexp_count on the text as the pattern sees it, i.e.
+    after the earlier patterns ran), so n_redacted is exactly the
+    number of placeholders inserted.
+
+    Pure Catalyst (regexp_count + regexp_replace chain, whole-stage
+    codegen, no shuffle): at 100 TB this is a scan-speed map like
+    ts_filter. The pattern list is deliberately conservative —
+    recall-tuned pattern packs are a config concern, not an engine
+    one; any (name, pattern, replacement) triple with RE2-compatible
+    syntax drops in via PII_PATTERNS."""
+    text = F.col(text_col)
+    n_total = F.lit(0)
+    for _, pat, repl in PII_PATTERNS:
+        n_total = n_total + F.regexp_count(text, F.lit(pat))
+        text = F.regexp_replace(text, pat, repl)
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        text.alias(text_col),
+        n_total.cast("int").alias("n_redacted"),
+    )
+
+
+def redact_pii_sql(text_col: str = "text") -> str:
+    """DuckDB mirror of redact_pii over the `documents` view (RE2
+    syntax; 'g' flag because DuckDB replaces first-match by default
+    while Spark replaces all)."""
+    text = text_col
+    counts = []
+    for _, pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({text}, '{esc}'))")
+        text = f"regexp_replace({text}, '{esc}', '{repl}', 'g')"
+    other_cols = "doc_id, lang, source, n_chars"
+    return f"""
+    SELECT {other_cols},
+           {text} AS {text_col},
+           CAST(({' + '.join(counts)}) AS INT) AS n_redacted
+    FROM documents
+    """
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Eval-set decontamination (the GPT-3/PaLM-style screen: drop
+    training documents sharing any n-gram with a held-out eval set).
+    Returns (clean_docs, contaminated) where `contaminated` is
+    (doc_id, n_hits) — the number of distinct eval n-grams the doc
+    contains, countable/auditable before the drop.
+
+    Scale shape: both sides' grams are md5'd before any shuffle (the
+    same 16-byte narrow-key discipline as boilerplate_ngrams and the
+    MinHash pipeline), the eval side is distinct'd first (eval sets
+    are small — AQE broadcasts it at runtime), and the final drop is a
+    left-anti join on doc_id only. Docs shorter than n tokens have no
+    grams and are trivially clean."""
+    toks = tokens_col(text_col)
+    cnt = F.size(toks) - (n - 1)
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i + F.lit(1), n), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = docs.select("doc_id", F.explode(grams).alias("gram"))
+    eval_grams = (
+        eval_docs.select(F.explode(grams).alias("gram")).distinct()
+    )
+    contaminated = (
+        doc_grams.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    clean = docs.join(contaminated, "doc_id", "left_anti")
+    return clean, contaminated
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Exact-dedup fingerprint: md5 of the lowercased text (md5 is
     bit-identical across engines, so the oracle matches exactly)."""
