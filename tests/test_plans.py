@@ -155,6 +155,38 @@ def test_boilerplate_shuffles_exclude_text(spark, sf_dir):
             assert "text" not in line, line
 
 
+def test_redact_pii_is_shuffle_free_codegen(spark, sf_dir):
+    """The PII scrub is a pure map: no Exchange anywhere, no Python
+    eval, and the regexp chain inside a WholeStageCodegen span — at
+    100 TB this op must cost exactly one scan."""
+    import os
+
+    from triplestore_spark.operators.textstats import redact_pii
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = plan_str(redact_pii(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan
+
+
+def test_decontaminate_shuffles_exclude_text(spark, sf_dir):
+    """Both decontamination shuffles (gram join, doc_id anti-join)
+    move md5 keys / ids only — the text column never crosses an
+    Exchange (same narrow-key discipline as boilerplate_ngrams)."""
+    import os
+
+    from triplestore_spark.operators.textstats import decontaminate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    clean, cont = decontaminate(docs, docs.limit(3), n=8)
+    for df in (clean, cont):
+        for line in plan_str(df).splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text" not in line, line
+    assert "LeftAnti" in plan_str(clean)
+
+
 def test_binary_split_ranges_spread_tasks(spark, tmp_path):
     """The split reader's range table must round-robin across tasks
     (one range per task), not collapse into one partition."""
