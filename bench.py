@@ -157,10 +157,16 @@ def main():
     canon_cached = run_pipeline(spark, sf_dir).cache()
     n_codec = canon_cached.count()
     # each rep recomputes the uncached encode plan over the cached
-    # canonical triples — no cross-rep cache makes reps comparable
+    # canonical triples — no cross-rep cache makes reps comparable.
+    # max(length) forces full string materialization: under a bare
+    # count() Catalyst PRUNES the unused encode projection and the
+    # timing degenerates to a cached-row count (verified by plan
+    # inspection r5) — same forcing shape as bench_codec_steady.
     timed(
         "q6_nt_encode",
-        lambda: canon_cached.select(nt_encode_expr().alias("value")).count(),
+        lambda: canon_cached.select(nt_encode_expr().alias("value"))
+        .agg(F.max(F.length("value")))
+        .collect(),
     )
     extras["nt_encode_triples_per_sec"] = round(
         n_codec / timings["q6_nt_encode"], 1
@@ -169,7 +175,15 @@ def main():
         nt_encode_expr().alias("value")
     ).cache()
     lines_cached.count()  # untimed: materialize q7's input once
-    timed("q7_nt_decode", lambda: decode_lines_df(lines_cached).count())
+    # decode's mapInArrow is a barrier (the parse always runs), but
+    # count() would still prune the downstream okey/tkey projection;
+    # max(length(tkey)) charges the full keyed-decode surface
+    timed(
+        "q7_nt_decode",
+        lambda: decode_lines_df(lines_cached)
+        .agg(F.max(F.length("tkey")))
+        .collect(),
+    )
     extras["nt_decode_triples_per_sec"] = round(
         n_codec / timings["q7_nt_decode"], 1
     )

@@ -74,7 +74,11 @@ def main():
         ).collect()
         enc = time.time() - t0
         t0 = time.time()
-        decode_lines_df(lines).count()
+        # the mapInArrow parse is a barrier either way, but count()
+        # would prune the okey/tkey projection; max(length(tkey))
+        # charges the full keyed-decode surface (aligned with bench.py
+        # q7 as of r5)
+        decode_lines_df(lines).agg(F.max(F.length("tkey"))).collect()
         dec = time.time() - t0
         row = {
             "trial": t + 1,
