@@ -450,6 +450,36 @@ def test_stratified_sample_deterministic_and_rates(docs):
     assert ids3 != ids1
 
 
+def test_plan_mixture_fractions(spark):
+    """Token-budget -> keep-fraction planning: big sources downweight
+    toward the cap, small ones keep everything, absent-from-dict
+    sources drop; composes with stratified_sample."""
+    from triplestore_spark.operators.textstats import (
+        plan_mixture,
+        stratified_sample,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "w " * 99 + "w", "en", "big", 200))      # 100 toks
+    for i in range(40, 44):
+        rows.append((i, "w w w w w", "en", "small", 9))          # 5 toks
+    for i in range(44, 48):
+        rows.append((i, "w w w", "en", "other", 5))              # 3 toks
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fr = plan_mixture(docs, 1000)  # uniform cap: big has 4000 toks
+    assert fr["big"] == 0.25 and fr["small"] == 1.0 and fr["other"] == 1.0
+
+    fr2 = plan_mixture(docs, {"big": 400, "small": 10})
+    assert fr2 == {"big": 0.1, "small": 0.5}  # 'other' dropped
+
+    sampled = stratified_sample(docs, fr2)
+    srcs = {r["source"] for r in sampled.collect()}
+    assert "other" not in srcs
+
+
 def test_redact_pii_planted(spark):
     """Exact expected redactions: email, IPv4, phone-shaped run, and
     a clean row; n_redacted counts the placeholders inserted."""

@@ -384,6 +384,42 @@ def stratified_sample(
     return docs.where(draw < frac)
 
 
+def plan_mixture(
+    docs: DataFrame,
+    budget_tokens: "dict[str, int] | int",
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Mixture planning — compute the per-source keep fractions that
+    stratified_sample needs to hit a token budget. budget_tokens is
+    either one cap applied to every source (the classic flattening
+    mix: big sources downweighted toward parity) or a per-source dict
+    (sources absent from the dict are dropped, fraction 0.0 — same
+    convention as stratified_sample).
+
+    fraction[src] = min(1.0, budget[src] / tokens[src]) — under the
+    uniform hash draw the sampled token count concentrates tightly
+    around the budget for any corpus much larger than one document.
+
+    One narrow groupBy over (source, token count) and a driver-side
+    collect of <= #sources rows (a mixture has a handful of sources;
+    this is config-sized, not data-sized)."""
+    totals = {
+        r["src"]: r["toks"]
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(F.size(tokens_col())).alias("toks"))
+        .collect()
+    }
+    if isinstance(budget_tokens, int):
+        budget = {src: budget_tokens for src in totals}
+    else:
+        budget = budget_tokens
+    return {
+        src: min(1.0, budget[src] / totals[src])
+        for src in sorted(totals)
+        if src in budget and totals[src] > 0
+    }
+
+
 def stratified_sample_sql(
     fractions: dict[str, float], seed: int = 42, source_col: str = "source"
 ) -> str:
