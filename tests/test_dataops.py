@@ -450,6 +450,96 @@ def test_stratified_sample_deterministic_and_rates(docs):
     assert ids3 != ids1
 
 
+def test_stratified_sample_epochs_oracle(docs):
+    """Upsampling: exact (doc_id, epoch) multiset against a pure-Python
+    md5 oracle; frac <= 1 subset identical to stratified_sample with
+    epoch == 0; repartition-invariant."""
+    import hashlib
+
+    from triplestore_spark.operators.textstats import (
+        stratified_sample,
+        stratified_sample_epochs,
+    )
+
+    fr = {"src0": 2.3, "src1": 0.5, "src2": 1.0}
+    seed = 42
+
+    def py_draw(doc_id):
+        h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32)
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    expected = set()
+    for did, src in src_of.items():
+        frac = fr.get(src, 0.0)
+        n = int(frac) + (1 if py_draw(did) < frac - int(frac) else 0)
+        for e in range(n):
+            expected.add((did, e))
+
+    got = {
+        (r["doc_id"], r["epoch"])
+        for r in stratified_sample_epochs(docs, fr, seed=seed)
+        .select("doc_id", "epoch")
+        .collect()
+    }
+    assert got == expected and got
+    # some src0 doc really was upsampled to 3 copies (frac 2.3)
+    assert any(e == 2 for _, e in got)
+
+    # repartition-invariant
+    got2 = {
+        (r["doc_id"], r["epoch"])
+        for r in stratified_sample_epochs(docs.repartition(7), fr, seed=seed)
+        .select("doc_id", "epoch")
+        .collect()
+    }
+    assert got2 == got
+
+    # frac <= 1 restriction: identical row set to stratified_sample,
+    # every epoch 0
+    fr_dn = {"src1": 0.5, "src2": 1.0}
+    ep = stratified_sample_epochs(docs, fr_dn, seed=seed).collect()
+    assert all(r["epoch"] == 0 for r in ep)
+    assert {r["doc_id"] for r in ep} == {
+        r["doc_id"] for r in stratified_sample(docs, fr_dn, seed=seed).collect()
+    }
+
+
+def test_shuffle_deterministic_order(docs):
+    """Global order is reproducible across partitionings, changes with
+    the seed, and matches the pure-Python md5 sort."""
+    import hashlib
+
+    from triplestore_spark.operators.textstats import shuffle_deterministic
+
+    order1 = [
+        r["doc_id"]
+        for r in shuffle_deterministic(docs, seed=42).select("doc_id").collect()
+    ]
+    order2 = [
+        r["doc_id"]
+        for r in shuffle_deterministic(docs.repartition(11), seed=42)
+        .select("doc_id")
+        .collect()
+    ]
+    assert order1 == order2 and len(order1) == docs.count()
+
+    def key(did):
+        h = hashlib.md5(f"{did}:42".encode()).hexdigest()
+        return (int(h[:8], 16) / float(1 << 32), did)
+
+    assert order1 == sorted(order1, key=key)
+
+    order3 = [
+        r["doc_id"]
+        for r in shuffle_deterministic(docs, seed=7).select("doc_id").collect()
+    ]
+    assert order3 != order1 and sorted(order3) == sorted(order1)
+
+
 def test_plan_mixture_fractions(spark):
     """Token-budget -> keep-fraction planning: big sources downweight
     toward the cap, small ones keep everything, absent-from-dict

@@ -360,14 +360,22 @@ def stratified_sample(
     same corpus cut is reproducible anywhere. Pure Catalyst filter
     against a small literal CASE on the source column — no shuffle, no
     UDF; at 100 TB this is a scan-speed funnel like ts_filter."""
-    draw = (
+    draw = uniform_draw(seed=seed)
+    frac = _fraction_case(fractions, source_col)
+    return docs.where(draw < frac)
+
+
+def uniform_draw(
+    doc_id: Column | str = "doc_id", seed: int = 42
+) -> Column:
+    """The shared deterministic uniform draw in [0, 1): first 8 hex
+    chars of md5(doc_id:seed), engine- and partitioning-invariant
+    (see stratified_sample for why df.sample's draw is neither)."""
+    doc_id = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return (
         F.conv(
             F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit(f":{seed}")
-                    )
-                ),
+                F.md5(F.concat(doc_id.cast("string"), F.lit(f":{seed}"))),
                 1,
                 8,
             ),
@@ -376,12 +384,79 @@ def stratified_sample(
         ).cast("long")
         / F.lit(float(1 << 32))
     )
+
+
+def _fraction_case(
+    fractions: dict[str, float], source_col: str
+) -> Column:
     frac = F.lit(0.0)
     for src, f_keep in sorted(fractions.items()):
         frac = F.when(F.col(source_col) == src, F.lit(f_keep)).otherwise(
             frac
         )
-    return docs.where(draw < frac)
+    return frac
+
+
+def stratified_sample_epochs(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 42,
+    source_col: str = "source",
+) -> DataFrame:
+    """stratified_sample generalized to fractions > 1.0 — UPSAMPLING,
+    the other half of mixture weighting (a 4.3x-weighted source emits
+    each document 4 times plus a 5th with probability 0.3). Output
+    carries an `epoch` column (0..n_copies-1) so downstream packing /
+    sharding can spread a document's repeats across the training run
+    instead of emitting them back-to-back.
+
+    n_copies(doc) = floor(frac) + (draw < frac mod 1), with the same
+    md5(doc_id:seed) draw as stratified_sample — so for frac <= 1 the
+    kept row set is IDENTICAL to stratified_sample (epoch always 0),
+    and the whole cut stays engine- and partitioning-invariant.
+
+    Pure Catalyst: the copy count is a literal CASE, the copies come
+    from explode(sequence(...)) — row amplification happens inside the
+    scan stage, no shuffle, no UDF. At 100 TB the explode multiplies
+    rows AFTER the filter, so a downweighted source never materializes
+    dropped rows."""
+    draw = uniform_draw(seed=seed)
+    frac = _fraction_case(fractions, source_col)
+    n_copies = (
+        F.floor(frac)
+        + F.when(draw < frac - F.floor(frac), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        docs.withColumn("__n_copies", n_copies)
+        .where(F.col("__n_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__n_copies") - F.lit(1))
+            ),
+        )
+        .drop("__n_copies")
+    )
+
+
+def shuffle_deterministic(
+    docs: DataFrame,
+    seed: int = 42,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible global training order: sort by the same
+    md5(doc_id:seed) uniform draw (doc_id as tiebreak — md5 collisions
+    on the 8-hex prefix are possible at corpus scale). Any engine, any
+    partitioning, any run produces the same total order for a given
+    seed; change the seed to get an independent order per training run.
+
+    At scale this is ONE range-partitioned sort (Spark samples split
+    points, then sorts within ranges) — the standard way to produce a
+    sharded, globally-ordered training corpus; write the result with
+    maxRecordsPerFile to get ordered shards. df.orderBy(rand(seed))
+    is partitioning-dependent and so not reproducible."""
+    draw = uniform_draw(doc_id_col, seed=seed)
+    return docs.orderBy(draw.asc(), F.col(doc_id_col).asc())
 
 
 def plan_mixture(
