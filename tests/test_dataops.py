@@ -570,6 +570,102 @@ def test_plan_mixture_fractions(spark):
     assert "other" not in srcs
 
 
+def test_dedup_lines_corpus(spark):
+    """Corpus-level line dedup: planted boilerplate lines verified
+    against a pure-Python oracle AND Spark==DuckDB engine agreement
+    (keep='first', keep='none', min_line_chars guard) on planted docs
+    unioned with the real sf0.001 corpus."""
+    import duckdb
+    import pandas as pd
+
+    from triplestore_spark.operators.textstats import (
+        dedup_lines_corpus,
+        dedup_lines_corpus_sql,
+    )
+
+    BOILER = "ACCEPT ALL COOKIES TO CONTINUE"
+    planted = [
+        (90001, f"{BOILER}\nunique alpha line\n--\n\nbody one", "en", "srcp", 40),
+        (90002, f"unique beta line\n{BOILER}\n--\nbody two", "en", "srcp", 38),
+        (90003, f"shared tail line\nbody three\n{BOILER}", "en", "srcp", 36),
+        (90004, "shared tail line\nbody four\n\n--", "en", "srcp", 30),
+        (90005, "all unique here\nnothing repeats", "en", "srcp", 31),
+        (90006, BOILER, "en", "srcp", 30),  # whole doc is boilerplate
+    ]
+    path = "/root/testdata/sf0.001/documents.parquet"
+    base = spark.read.parquet(path)
+    df = base.unionByName(spark.createDataFrame(planted, base.schema))
+
+    # pure-Python oracle over the full unioned corpus, keep='first'
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    seen: dict[str, tuple] = {}
+    for did, text in sorted(rows):
+        for pos, line in enumerate(text.split("\n")):
+            if line and (did, pos) < seen.get(line, (float("inf"), 0)):
+                seen[line] = (did, pos)
+    from collections import Counter
+
+    counts = Counter(
+        line for _, text in rows for line in text.split("\n") if line
+    )
+    expected = {}
+    for did, text in rows:
+        kept, dropped = [], 0
+        for pos, line in enumerate(text.split("\n")):
+            if line and counts[line] >= 2 and seen[line] != (did, pos):
+                dropped += 1
+            else:
+                kept.append(line)
+        expected[did] = ("\n".join(kept), dropped)
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_dropped"])
+        for r in dedup_lines_corpus(df).collect()
+    }
+    assert got == expected
+    # the planted boilerplate survived exactly once, in doc 90001
+    assert BOILER in got[90001][0]
+    assert all(
+        BOILER not in got[d][0] for d in (90002, 90003, 90006)
+    )
+    assert got[90006] == ("", 1)  # all-dropped doc -> empty text
+    # short "--" lines are protected by min_line_chars=3
+    g3 = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_corpus(df, min_line_chars=3).collect()
+    }
+    assert "--" in g3[90001] and "--" in g3[90002] and "--" in g3[90004]
+
+    # engine agreement vs DuckDB for both keep modes + the guard
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        planted, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    con.register("planted", pdf)
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{path}') UNION ALL FROM planted"
+    )
+    for kw in (
+        {"keep": "first"},
+        {"keep": "none"},
+        {"keep": "first", "min_line_chars": 3},
+    ):
+        a = sorted(
+            (r["doc_id"], r["text"], r["n_lines_dropped"])
+            for r in dedup_lines_corpus(df, **kw).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT doc_id, text, n_lines_dropped FROM ("
+                + dedup_lines_corpus_sql(**kw)
+                + ")"
+            ).fetchall()
+        )
+        assert a == b, kw
+
+
 def test_redact_pii_planted(spark):
     """Exact expected redactions: email, IPv4, phone-shaped run, and
     a clean row; n_redacted counts the placeholders inserted."""

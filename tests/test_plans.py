@@ -211,3 +211,26 @@ def test_binary_split_ranges_spread_tasks(spark, tmp_path):
     # no task may own the whole file
     total = sum(r["n"] for r in per_task)
     assert max(r["n"] for r in per_task) < total
+
+
+def test_dedup_lines_corpus_two_data_shuffles(spark, sf_dir):
+    """Line dedup is exactly two data shuffles (line-fingerprint
+    window, doc_id reassembly) plus the broadcast/SMJ metadata
+    re-attach — rank and occurrence count share one window Exchange,
+    and doc metadata never rides through the line explode."""
+    import os
+
+    from triplestore_spark.operators.textstats import dedup_lines_corpus
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = plan_str(dedup_lines_corpus(docs))
+    hash_parts = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_parts) == 2, plan
+    assert any("fp#" in line for line in hash_parts)
+    assert any("doc_id#" in line for line in hash_parts)
+    # one Window node computes both rn and cnt
+    assert plan.count("Window") == 1, plan

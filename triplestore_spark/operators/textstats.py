@@ -281,6 +281,121 @@ def decontaminate(
     return clean, contaminated
 
 
+def dedup_lines_corpus(
+    docs: DataFrame,
+    keep: str = "first",
+    min_line_chars: int = 1,
+    line_sep: str = "\n",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level LINE dedup — the RefinedWeb/MassiveText screen
+    that strips boilerplate lines (nav bars, cookie banners, license
+    headers) repeated across documents. A line occurring in more than
+    one place corpus-wide is dropped everywhere except its first
+    occurrence (keep='first', ordered by (doc_id, position)) or
+    everywhere (keep='none', the aggressive boilerplate-removal
+    variant). Documents come back with surviving lines rejoined in
+    original order plus an auditable n_lines_dropped; lines shorter
+    than min_line_chars always survive (so blank separator lines are
+    not collapsed corpus-wide).
+
+    Scale shape: one shuffle partitioned by the line fingerprint
+    (rank + occurrence count share a single window spec), one shuffle
+    by doc_id to reassemble, and a same-key join to re-attach the
+    narrow doc metadata (which never rides through the explode, so
+    metadata is not multiplied by line count). Short lines get a
+    per-(doc,pos) unique fingerprint instead of bypass-union plumbing
+    — they stay in the single pass but can never cluster. Line text
+    crosses the wire once per shuffle; fingerprints are md5."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    from pyspark.sql.window import Window
+
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+            "pos", "line"
+        ),
+    )
+    eligible = F.length("line") >= min_line_chars
+    fp = F.when(eligible, F.md5(F.col("line"))).otherwise(
+        F.concat_ws(":", F.col("doc_id"), F.col("pos"))
+    )
+    # exactly ONE window function: keep='first' needs only the rank
+    # (rn > 1 already implies the line occurs >= 2 times), keep='none'
+    # needs only the occurrence count — so the plan carries a single
+    # Window node over a single fp Exchange either way.
+    w = Window.partitionBy("fp")
+    if keep == "none":
+        mark = F.count(F.lit(1)).over(w).alias("mark")
+        drop = F.col("mark") >= 2
+    else:
+        mark = (
+            F.row_number().over(w.orderBy("doc_id", "pos")).alias("mark")
+        )
+        drop = F.col("mark") > 1
+    marked = lines.withColumn("fp", fp).select(
+        "doc_id", "pos", "line", mark
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~drop, F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias(text_col),
+        F.sum(drop.cast("int")).alias("n_lines_dropped"),
+    )
+    return docs.drop(text_col).join(rebuilt, "doc_id")
+
+
+def dedup_lines_corpus_sql(
+    keep: str = "first", min_line_chars: int = 1
+) -> str:
+    """DuckDB mirror of dedup_lines_corpus over the `documents` view
+    (newline separator): same fingerprint trick, same window, same
+    ordered reassembly — string_agg skips the NULLed dropped lines and
+    COALESCE covers the all-lines-dropped document."""
+    drop = (
+        "cnt >= 2"
+        if keep == "none"
+        else "cnt >= 2 AND rn > 1"
+    )
+    return f"""
+    WITH split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents
+    ), lines AS (
+      SELECT doc_id, u.pos, parts[u.pos] AS line
+      FROM split, UNNEST(range(1, len(parts) + 1)) AS u(pos)
+    ), marked AS (
+      SELECT *,
+             CASE WHEN length(line) >= {min_line_chars} THEN md5(line)
+                  ELSE doc_id || ':' || pos END AS fp
+      FROM lines
+    ), w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY fp) AS cnt
+      FROM marked
+    ), rebuilt AS (
+      SELECT doc_id,
+             COALESCE(string_agg(
+               CASE WHEN NOT ({drop}) THEN line END, chr(10)
+               ORDER BY pos), '') AS text,
+             SUM(CASE WHEN {drop} THEN 1 ELSE 0 END) AS n_lines_dropped
+      FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           r.text, CAST(r.n_lines_dropped AS BIGINT) AS n_lines_dropped
+    FROM documents d JOIN rebuilt r USING (doc_id)
+    """
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Exact-dedup fingerprint: md5 of the lowercased text (md5 is
     bit-identical across engines, so the oracle matches exactly)."""
