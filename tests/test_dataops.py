@@ -508,6 +508,40 @@ def test_stratified_sample_epochs_oracle(docs):
     }
 
 
+def test_cap_per_group_oracle(docs):
+    """Per-source cap: exact survivor set against the pure-Python md5
+    oracle, repartition-invariant, under-cap groups untouched."""
+    import hashlib
+
+    from triplestore_spark.operators.textstats import cap_per_group
+
+    def draw(did):
+        h = hashlib.md5(f"{did}:42".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32)
+
+    by_src: dict = {}
+    for r in docs.select("doc_id", "source").collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    cap = 7
+    expected = set()
+    for src, ids in by_src.items():
+        for did in sorted(ids, key=lambda d: (draw(d), d))[:cap]:
+            expected.add(did)
+
+    got = {r["doc_id"] for r in cap_per_group(docs, cap).collect()}
+    assert got == expected
+    got2 = {
+        r["doc_id"] for r in cap_per_group(docs.repartition(9), cap).collect()
+    }
+    assert got2 == got
+    # groups at/below the cap keep everything
+    small = {s for s, ids in by_src.items() if len(ids) <= cap}
+    for s in small:
+        assert set(by_src[s]) <= got
+    # a big cap is the identity
+    assert cap_per_group(docs, 10**6).count() == docs.count()
+
+
 def test_shuffle_deterministic_order(docs):
     """Global order is reproducible across partitionings, changes with
     the seed, and matches the pure-Python md5 sort."""

@@ -86,3 +86,116 @@ def test_no_python_udf_in_plan(spark, sf_dir):
     plan = canon._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow", "MapInPandas"):
         assert marker not in plan, f"{marker} found in physical plan"
+
+
+def test_curate_funnel_end_to_end(spark, sf_dir):
+    """The composed curation funnel: every stage's semantics verified
+    on the real corpus plus planted rows that each stage must act on
+    (boilerplate line, PII, eval contamination, near-dup pair,
+    over-cap source, mixture budget, final deterministic order)."""
+    import hashlib
+    import os
+
+    from triplestore_spark.operators.textstats import filter_documents
+    from triplestore_spark.pipeline.curate import curate
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    hosts = [
+        r.asDict()
+        for r in filter_documents(base).orderBy("doc_id").limit(4).collect()
+    ]
+    assert len(hosts) == 4
+    BOILER = "SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES"
+    # a standalone near-dup pair: reversed host tokens keep the
+    # quality/lang stats but share no 3-shingles with the host, so the
+    # pair clusters only with itself (canonical = 91004)
+    rev = " ".join(reversed(hosts[2]["text"].split(" ")))
+    near = rev.rsplit(" ", 2)[0] + " changed tokens"
+    planted_texts = [
+        # two filtered hosts carrying the same boilerplate line
+        (91001, f"{BOILER}\n" + hosts[0]["text"]),
+        (91002, f"{BOILER}\n" + hosts[1]["text"]),
+        # PII carrier
+        (91003, hosts[2]["text"] + " contact bob@example.com"),
+        # standalone near-dup pair (lines differ -> survive line dedup)
+        (91004, rev),
+        (91005, near),
+    ]
+    planted = [
+        (did, t, "en", "srcp", len(t)) for did, t in planted_texts
+    ]
+    df = base.unionByName(spark.createDataFrame(planted, base.schema))
+    eval_docs = spark.createDataFrame(
+        [(1, hosts[3]["text"])], "doc_id long, text string"
+    )
+
+    res = curate(
+        df,
+        eval_docs,
+        per_source_cap=5,
+        token_budget=400,
+        epochs=True,
+        seed=42,
+    )
+
+    filtered_ids = {r["doc_id"] for r in res.filtered.select("doc_id").collect()}
+    assert {91001, 91002, 91003, 91004, 91005} <= filtered_ids
+
+    # line dedup kept exactly one corpus-wide copy of the boiler line
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in res.line_deduped.select("doc_id", "text").collect()
+    }
+    n_boiler = sum(1 for t in texts.values() if BOILER in t)
+    assert n_boiler == 1 and BOILER in texts[91001]
+
+    # PII redacted at the redaction stage
+    red = dict(
+        res.redacted.where(F.col("doc_id") == 91003)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert "<EMAIL>" in red[91003] and "bob@example.com" not in red[91003]
+
+    # the eval-contaminated host was reported and dropped
+    cont_ids = {
+        r["doc_id"] for r in res.contamination_report.select("doc_id").collect()
+    }
+    assert hosts[3]["doc_id"] in cont_ids
+    decon_ids = {
+        r["doc_id"] for r in res.decontaminated.select("doc_id").collect()
+    }
+    assert hosts[3]["doc_id"] not in decon_ids
+
+    # near-dup pair: only the canonical (min id) survives
+    nd_ids = {r["doc_id"] for r in res.near_deduped.select("doc_id").collect()}
+    assert 91004 in nd_ids and 91005 not in nd_ids
+
+    # per-source cap honored
+    caps = res.capped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    assert all(r["n"] <= 5 for r in caps.collect())
+
+    # mixture sampling ran with epochs; fractions recorded
+    assert res.mixture_fractions and "epoch" in res.docs.columns
+    assert 0 < res.docs.count() <= res.capped.count() * 2
+
+    # final order is the deterministic hash order
+    order = [r["doc_id"] for r in res.docs.select("doc_id").collect()]
+
+    def key(did):
+        h = hashlib.md5(f"{did}:42".encode()).hexdigest()
+        return (int(h[:8], 16) / float(1 << 32), did)
+
+    assert order == sorted(order, key=key)
+
+    # funnel is monotone through the doc-count-preserving stages
+    fc = res.funnel_counts()
+    assert (
+        fc["filtered"]
+        == fc["line_deduped"]
+        == fc["redacted"]
+        >= fc["decontaminated"]
+        >= fc["near_deduped"]
+        >= fc["capped"]
+        >= fc["sampled"]
+    )

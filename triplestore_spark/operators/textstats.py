@@ -554,6 +554,42 @@ def stratified_sample_epochs(
     )
 
 
+def cap_per_group(
+    docs: DataFrame,
+    per_group: int,
+    group_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group document cap — the RefinedWeb-style per-domain limit
+    (no single domain/source may contribute more than per_group
+    documents). Which documents survive is decided by the same
+    md5(doc_id:seed) uniform draw as stratified_sample, so the cut is
+    a deterministic uniform random sample of each over-cap group:
+    engine-, partitioning- and run-invariant, re-drawable with a new
+    seed.
+
+    One shuffle (window rank partitioned by the group column). Skew
+    caveat at 100 TB: a pathological mega-domain concentrates its rank
+    computation on one partition; since only the top per_group rows
+    per group survive, pre-filtering each partition to its local
+    top-per_group by draw before the window (AQE skew handling or a
+    partial rank) bounds that — for the common many-domains shape the
+    plain window is the right plan."""
+    from pyspark.sql.window import Window
+
+    draw = uniform_draw(seed=seed)
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            draw.asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        docs.withColumn("__rank", rank)
+        .where(F.col("__rank") <= per_group)
+        .drop("__rank")
+    )
+
+
 def shuffle_deterministic(
     docs: DataFrame,
     seed: int = 42,

@@ -1,0 +1,163 @@
+"""Composed corpus-curation pipeline: the canonical screen order a
+pretraining data pipeline applies between "raw crawl" and "training
+shards", each stage one of the library's oracled/differential-tested
+operators:
+
+    filter -> line dedup -> PII redaction -> eval decontamination
+    -> near-dup dedup (MinHash-LSH keep-list) -> per-source cap
+    -> mixture sampling (optionally with upsampling epochs)
+    -> deterministic shuffle
+
+Stage order rationale (each stage shrinks or normalizes the input of
+the next): the quality/language filter is a scan-speed funnel so it
+runs first; line dedup and redaction rewrite text, so they precede
+anything fingerprint-based; decontamination and near-dup dedup work on
+the cleaned text; the per-source cap and mixture sampling act on the
+surviving population; the shuffle is last because order is only
+meaningful for the final corpus.
+
+Every stage is lazily composed Spark plans — nothing executes until an
+action, and CurationResult keeps each intermediate DataFrame so a
+caller can count/audit any stage without re-deriving it. At 100 TB the
+composition matters: early stages are shuffle-free scans, the
+shuffling stages (line dedup, LSH, cap, final sort) each key on narrow
+columns, and dropped documents never reach later, more expensive
+stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from triplestore_spark.operators import dedup as DD
+from triplestore_spark.operators import textstats as TS
+
+
+@dataclass
+class CurationResult:
+    """Every stage of the funnel, lazily. `docs` is the final corpus;
+    the rest exist for audit (counts, diffs, contamination report)."""
+
+    filtered: DataFrame
+    line_deduped: DataFrame
+    redacted: DataFrame
+    decontaminated: DataFrame
+    contamination_report: DataFrame | None
+    near_deduped: DataFrame
+    capped: DataFrame
+    sampled: DataFrame
+    docs: DataFrame
+    mixture_fractions: dict[str, float] = field(default_factory=dict)
+
+    def funnel_counts(self) -> dict[str, int]:
+        """One count per stage — each is its own action; call on a
+        small slice or cache upstream first."""
+        return {
+            "filtered": self.filtered.count(),
+            "line_deduped": self.line_deduped.count(),
+            "redacted": self.redacted.count(),
+            "decontaminated": self.decontaminated.count(),
+            "near_deduped": self.near_deduped.count(),
+            "capped": self.capped.count(),
+            "sampled": self.sampled.count(),
+            "final": self.docs.count(),
+        }
+
+
+def curate(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    *,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    line_dedup: bool = True,
+    min_line_chars: int = 1,
+    redact: bool = True,
+    decontaminate_ngram: int = 8,
+    lsh_num_hashes: int = 32,
+    lsh_bands: int = 8,
+    lsh_verify_threshold: float = 0.5,
+    per_source_cap: int | None = None,
+    token_budget: "dict[str, int] | int | None" = None,
+    epochs: bool = False,
+    seed: int = 42,
+) -> CurationResult:
+    """Run the full curation funnel. `eval_docs=None` skips the
+    decontamination stage; `per_source_cap=None` skips the cap;
+    `token_budget=None` skips mixture sampling (and `epochs=True`
+    additionally emits upsampling epoch copies for over-1.0 mixture
+    weights). The returned CurationResult exposes every stage.
+
+    `token_budget` triggers ONE driver-side action (plan_mixture's
+    config-sized collect over the capped stage); everything else stays
+    lazy until the caller acts."""
+    filtered = TS.filter_documents(
+        docs,
+        min_quality=min_quality,
+        langs=langs,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+    )
+
+    line_deduped = (
+        TS.dedup_lines_corpus(filtered, min_line_chars=min_line_chars)
+        if line_dedup
+        else filtered
+    )
+    if line_dedup:
+        line_deduped = line_deduped.drop("n_lines_dropped")
+
+    redacted = TS.redact_pii(line_deduped) if redact else line_deduped
+    if redact:
+        redacted = redacted.drop("n_redacted")
+
+    contamination_report = None
+    decontaminated = redacted
+    if eval_docs is not None:
+        decontaminated, contamination_report = TS.decontaminate(
+            redacted, eval_docs, n=decontaminate_ngram
+        )
+
+    pairs = DD.minhash_lsh_pairs(
+        decontaminated,
+        n=3,
+        num_hashes=lsh_num_hashes,
+        bands=lsh_bands,
+        verify_threshold=lsh_verify_threshold,
+    ).select("doc_a", "doc_b")
+    near_deduped = DD.dedup_keep_list(decontaminated, pairs)
+
+    capped = (
+        TS.cap_per_group(near_deduped, per_source_cap, seed=seed)
+        if per_source_cap is not None
+        else near_deduped
+    )
+
+    fractions: dict[str, float] = {}
+    sampled = capped
+    if token_budget is not None:
+        fractions = TS.plan_mixture(capped, token_budget)
+        sampled = (
+            TS.stratified_sample_epochs(capped, fractions, seed=seed)
+            if epochs
+            else TS.stratified_sample(capped, fractions, seed=seed)
+        )
+
+    final = TS.shuffle_deterministic(sampled, seed=seed)
+
+    return CurationResult(
+        filtered=filtered,
+        line_deduped=line_deduped,
+        redacted=redacted,
+        decontaminated=decontaminated,
+        contamination_report=contamination_report,
+        near_deduped=near_deduped,
+        capped=capped,
+        sampled=sampled,
+        docs=final,
+        mixture_fractions=fractions,
+    )
