@@ -105,21 +105,29 @@ def test_curate_funnel_end_to_end(spark, sf_dir):
         for r in filter_documents(base).orderBy("doc_id").limit(4).collect()
     ]
     assert len(hosts) == 4
-    BOILER = "SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES"
+    # stopword-bearing so a boiler-only doc still passes the filter's
+    # lang gate (exercising the emptied-doc drop after line dedup)
+    BOILER = "SUBSCRIBE TO the NEWSLETTER FOR a FREE UPDATE"
     # a standalone near-dup pair: reversed host tokens keep the
     # quality/lang stats but share no 3-shingles with the host, so the
     # pair clusters only with itself (canonical = 91004)
     rev = " ".join(reversed(hosts[2]["text"].split(" ")))
     near = rev.rsplit(" ", 2)[0] + " changed tokens"
     planted_texts = [
-        # two filtered hosts carrying the same boilerplate line
-        (91001, f"{BOILER}\n" + hosts[0]["text"]),
-        (91002, f"{BOILER}\n" + hosts[1]["text"]),
+        # two filtered hosts carrying the same boilerplate line; the
+        # body line gets a unique marker so it does not ALSO collide
+        # with the host base doc's own text (which is a corpus line)
+        (91001, f"{BOILER}\n" + hosts[0]["text"] + " uniqninety1"),
+        (91002, f"{BOILER}\n" + hosts[1]["text"] + " uniqninety2"),
         # PII carrier
         (91003, hosts[2]["text"] + " contact bob@example.com"),
         # standalone near-dup pair (lines differ -> survive line dedup)
         (91004, rev),
         (91005, near),
+        # boilerplate-only doc: hollowed out by line dedup, must be
+        # dropped by the post-dedup length gate (never reaches LSH,
+        # where emptied texts would share one degenerate bucket)
+        (91006, BOILER),
     ]
     planted = [
         (did, t, "en", "srcp", len(t)) for did, t in planted_texts
@@ -139,15 +147,17 @@ def test_curate_funnel_end_to_end(spark, sf_dir):
     )
 
     filtered_ids = {r["doc_id"] for r in res.filtered.select("doc_id").collect()}
-    assert {91001, 91002, 91003, 91004, 91005} <= filtered_ids
+    assert {91001, 91002, 91003, 91004, 91005, 91006} <= filtered_ids
 
-    # line dedup kept exactly one corpus-wide copy of the boiler line
+    # line dedup kept exactly one corpus-wide copy of the boiler line,
+    # and the hollowed-out boiler-only doc exited the funnel
     texts = {
         r["doc_id"]: r["text"]
         for r in res.line_deduped.select("doc_id", "text").collect()
     }
     n_boiler = sum(1 for t in texts.values() if BOILER in t)
     assert n_boiler == 1 and BOILER in texts[91001]
+    assert 91006 not in texts
 
     # PII redacted at the redaction stage
     red = dict(
@@ -188,12 +198,12 @@ def test_curate_funnel_end_to_end(spark, sf_dir):
 
     assert order == sorted(order, key=key)
 
-    # funnel is monotone through the doc-count-preserving stages
+    # funnel is monotone; the line-dedup stage dropped exactly the
+    # hollowed-out boiler-only doc on this corpus
     fc = res.funnel_counts()
+    assert fc["filtered"] - 1 == fc["line_deduped"] == fc["redacted"]
     assert (
-        fc["filtered"]
-        == fc["line_deduped"]
-        == fc["redacted"]
+        fc["redacted"]
         >= fc["decontaminated"]
         >= fc["near_deduped"]
         >= fc["capped"]

@@ -30,6 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from triplestore_spark.operators import dedup as DD
 from triplestore_spark.operators import textstats as TS
@@ -109,7 +110,14 @@ def curate(
         else filtered
     )
     if line_dedup:
-        line_deduped = line_deduped.drop("n_lines_dropped")
+        # Re-apply the length gate: line dedup can hollow out a
+        # boilerplate-only document, and empty/near-empty texts all
+        # hash to the same degenerate shingle — at corpus scale that
+        # is ONE LSH bucket holding every emptied doc (a quadratic
+        # candidate-pair blowup), so they must exit the funnel here.
+        line_deduped = line_deduped.drop("n_lines_dropped").where(
+            F.size(TS.tokens_col()) >= min_tokens
+        )
 
     redacted = TS.redact_pii(line_deduped) if redact else line_deduped
     if redact:
