@@ -1,3 +1,16 @@
+from triplestore_spark.operators.bgp import (
+    bgp_match,
+    bgp_match_sql,
+    property_path,
+    strip_node_key,
+)
 from triplestore_spark.operators.graph import RDFGraph, TripleSource
 
-__all__ = ["RDFGraph", "TripleSource"]
+__all__ = [
+    "RDFGraph",
+    "TripleSource",
+    "bgp_match",
+    "bgp_match_sql",
+    "property_path",
+    "strip_node_key",
+]
