@@ -88,3 +88,53 @@ def test_struct_melt_gate_unions_both_tables(spark, sf_dir):
     n_cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
     n_ord = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
     assert by_prefix == {"cust": 3 * n_cust, "order": 3 * n_ord}
+
+
+def test_registry_is_exactly_fifty():
+    """The driver's CORRECTNESS harness caps gates at 50 — the
+    round-5 swap (nt_encode -> nt_roundtrip, cli_convert ->
+    codec_auto_detect, + bgp_star/path_supply_2hop) must keep the
+    registry exactly full, every gate oracled."""
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    assert len(q) == 50
+    assert set(q) == set(o)
+
+
+def test_nt_roundtrip_gate_subsumes_nt_encode(spark, sf_dir):
+    """Round-5 fold: the merged nt_roundtrip gate's line column must
+    equal the former nt_encode gate's output exactly (the encoder run
+    over the decoded components == the encoder run over the melt)."""
+    import __spark_entry__ as entry
+    from triplestore_spark.queries import (
+        dedup_triples,
+        tpch_graph_triples,
+    )
+    from triplestore_spark.sources.ntriples import nt_encode_expr
+
+    merged = entry.queries()["nt_roundtrip"](spark, sf_dir)
+    assert set(merged.columns) == {"tkey", "line"}
+    old = (
+        dedup_triples(tpch_graph_triples(spark, sf_dir))
+        .select(nt_encode_expr().alias("line"))
+    )
+    got = sorted(r["line"] for r in merged.select("line").collect())
+    want = sorted(r["line"] for r in old.collect())
+    assert got == want and len(got) > 0
+
+
+def test_codec_auto_detect_gate_subsumes_cli_convert(spark, sf_dir):
+    """Round-5 fold: the binary side of the mixed directory is written
+    BY THE CLI, so n_sources == 2 for every canonical key certifies
+    the CLI conversion and the auto-dispatch of both decoders at
+    once. A key with n_sources == 1 means one format dropped or
+    corrupted it; 3+ means a decoder double-read."""
+    import __spark_entry__ as entry
+    from triplestore_spark.queries import dedup_triples, tpch_graph_triples
+
+    df = entry.queries()["codec_auto_detect"](spark, sf_dir)
+    rows = df.collect()
+    n_graph = dedup_triples(tpch_graph_triples(spark, sf_dir)).count()
+    assert len(rows) == n_graph
+    assert all(r["n_sources"] == 2 for r in rows)
