@@ -255,3 +255,340 @@ def test_bgp_pushdown_on_parquet_layout(spark, tmp_path):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:200]
     assert "subject" in pushed and "predicate" in pushed
+
+
+# -- OPTIONAL groups (SPARQL left-join semantics) --------------------
+
+
+def _rows_nullsafe(rows):
+    return sorted(
+        tuple("" if v is None else v for v in r) for r in rows
+    )
+
+
+def test_bgp_optional_hand_exact(hand_graph):
+    """?d mentions ?e OPTIONAL { ?d source ?s }: docs without a source
+    keep their mention rows with a null binding."""
+    got = _rows_nullsafe(
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            optional=[[("?d", "kg:source", "?s")]],
+        ).collect()
+    )
+    assert got == [
+        ("<doc:1>", "<e:spark>", "<src:web>"),
+        ("<doc:2>", "<e:duck>", "<src:book>"),
+        ("<doc:2>", "<e:spark>", "<src:book>"),
+        ("<doc:3>", "<e:duck>", ""),
+        ("_:b0", "<e:spark>", ""),
+    ]
+    con = _duck(HAND)
+    want = _rows_nullsafe(
+        con.execute(
+            bgp_match_sql(
+                [("?d", "kg:mentions", "?e")],
+                optional=[[("?d", "kg:source", "?s")]],
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bgp_optional_multiplies_and_nulls(hand_graph):
+    """An optional group with multiple matches multiplies rows (bag
+    semantics under distinct=False); zero matches null-fills. e:spark
+    carries two kg:name literals, e:duck none."""
+    got = _rows_nullsafe(
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            optional=[[("?e", "kg:name", "?n")]],
+            distinct=False,
+        ).collect()
+    )
+    con = _duck(HAND)
+    want = _rows_nullsafe(
+        con.execute(
+            bgp_match_sql(
+                [("?d", "kg:mentions", "?e")],
+                optional=[[("?e", "kg:name", "?n")]],
+                distinct=False,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    spark_names = {r for r in got if r[1] == "<e:spark>"}
+    assert len({n for _, _, n in spark_names if n}) == 2
+    assert any(n == "" for _, e, n in got if e == "<e:duck>")
+
+
+def test_bgp_optional_two_groups_differential(hand_graph):
+    got = _rows_nullsafe(
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            optional=[
+                [("?d", "kg:source", "?s")],
+                [("?e", "rdf:type", "?t")],
+            ],
+        ).collect()
+    )
+    con = _duck(HAND)
+    want = _rows_nullsafe(
+        con.execute(
+            bgp_match_sql(
+                [("?d", "kg:mentions", "?e")],
+                optional=[
+                    [("?d", "kg:source", "?s")],
+                    [("?e", "rdf:type", "?t")],
+                ],
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bgp_optional_not_well_designed_refused(hand_graph):
+    """Both compilers refuse the same ill-designed shapes: a group
+    sharing no variable with the required part, and a new variable
+    reused across groups."""
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            optional=[[("?q", "rdf:type", "?t")]],
+        )
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match_sql(
+            [("?d", "kg:mentions", "?e")],
+            optional=[[("?q", "rdf:type", "?t")]],
+        )
+    bad = [
+        [("?e", "kg:name", "?n")],
+        [("?d", "kg:source", "?n")],
+    ]
+    with pytest.raises(ValueError, match="reuses variables"):
+        bgp_match(hand_graph, [("?d", "kg:mentions", "?e")], optional=bad)
+    with pytest.raises(ValueError, match="reuses variables"):
+        bgp_match_sql([("?d", "kg:mentions", "?e")], optional=bad)
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_bgp_optional_randomized_differential(spark, seed):
+    rows = _random_rows(seed)
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    con = _duck(rows)
+    req = [("?x", "p0", "?y")]
+    optional = [[("?y", "p1", "?z")], [("?x", "p2", "?w")]]
+    for distinct in (True, False):
+        a = _rows_nullsafe(
+            bgp_match(g, req, optional=optional, distinct=distinct).collect()
+        )
+        b = _rows_nullsafe(
+            con.execute(
+                bgp_match_sql(req, optional=optional, distinct=distinct)
+            ).fetchall()
+        )
+        assert a == b, (seed, distinct)
+    assert len(a) > 0
+    # some row must actually exercise the null path
+    assert any(v == "" for r in a for v in r)
+
+
+# -- anti groups (FILTER NOT EXISTS) ---------------------------------
+
+
+def test_bgp_anti_hand_exact(hand_graph):
+    """?d mentions ?e MINUS { ?e rdf:type kg:Engine }: only mentions
+    of non-Engine entities survive (none of the typed ones)."""
+    got = _spark_rows(
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            anti=[[("?e", "rdf:type", "kg:Engine")]],
+        )
+    )
+    assert got == []  # every mentioned entity is typed kg:Engine
+    # anti on a narrower class keeps the others
+    got = _spark_rows(
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            anti=[[("?d", "kg:source", "src:web")]],
+        )
+    )
+    con = _duck(HAND)
+    want = _duck_rows(
+        con,
+        bgp_match_sql(
+            [("?d", "kg:mentions", "?e")],
+            anti=[[("?d", "kg:source", "src:web")]],
+        ),
+    )
+    assert got == want
+    assert ("<doc:1>", "<e:spark>") not in got  # doc:1 is src:web
+    assert ("<doc:3>", "<e:duck>") in got
+
+
+def test_bgp_anti_not_well_designed_refused(hand_graph):
+    with pytest.raises(ValueError, match="anti group 0 shares no"):
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            anti=[[("?q", "rdf:type", "?t")]],
+        )
+    with pytest.raises(ValueError, match="anti group 0 shares no"):
+        bgp_match_sql(
+            [("?d", "kg:mentions", "?e")],
+            anti=[[("?q", "rdf:type", "?t")]],
+        )
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_bgp_anti_optional_randomized_differential(spark, seed):
+    """required -> anti -> optional composed, Spark == DuckDB."""
+    rows = _random_rows(seed)
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    con = _duck(rows)
+    req = [("?x", "p0", "?y")]
+    anti = [[("?y", "p3", "?v")]]
+    optional = [[("?x", "p2", "?w")]]
+    for distinct in (True, False):
+        a = _rows_nullsafe(
+            bgp_match(
+                g, req, anti=anti, optional=optional, distinct=distinct
+            ).collect()
+        )
+        b = _rows_nullsafe(
+            con.execute(
+                bgp_match_sql(
+                    req, anti=anti, optional=optional, distinct=distinct
+                )
+            ).fetchall()
+        )
+        assert a == b, (seed, distinct)
+    plain = bgp_match(g, req).count()
+    kept = bgp_match(g, req, anti=anti).count()
+    assert 0 < kept < plain  # the anti group actually bites
+
+
+# -- parse_bgp string front-end (pure python) ------------------------
+
+
+def test_parse_bgp_terms():
+    from triplestore_spark.operators.bgp import parse_bgp
+
+    assert parse_bgp("?d kg:mentions ?e . ?d kg:source src:web") == [
+        ("?d", "kg:mentions", "?e"),
+        ("?d", "kg:source", "src:web"),
+    ]
+    pats = parse_bgp(
+        '?e kg:name "hello world"@fr . '
+        '?e kg:size "42"^^xsd:integer . ?e rdf:sameAs _:b7 .'
+    )
+    assert pats[0][2] == Obj("lit", "hello world", "", "fr")
+    assert pats[1][2] == Obj("lit", "42", "xsd:integer", "")
+    assert pats[2][2] == Obj("bnode", "b7")
+    # quoted literals may hold spaces, dots, escaped quotes
+    [(_, _, o)] = parse_bgp('?e kg:name "a \\"quoted\\" . dot"')
+    assert o == Obj("lit", 'a "quoted" . dot', "xsd:string", "")
+
+
+def test_parse_bgp_refusals():
+    from triplestore_spark.operators.bgp import parse_bgp
+
+    for bad in ["?a ?b", '"lit" kg:p ?x', "?a _:b ?c", "?a kg:p"]:
+        with pytest.raises(ValueError):
+            parse_bgp(bad)
+
+
+def test_parse_bgp_feeds_bgp_match(hand_graph):
+    from triplestore_spark.operators.bgp import parse_bgp
+
+    pats = parse_bgp("?d kg:mentions ?e . ?e rdf:type kg:Engine")
+    got = _spark_rows(bgp_match(hand_graph, pats))
+    want = _spark_rows(
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e"), ("?e", "rdf:type", "kg:Engine")],
+        )
+    )
+    assert got == want and len(got) == 5
+
+
+def test_bgp_match_accepts_pattern_strings(hand_graph):
+    got = _spark_rows(
+        bgp_match(hand_graph, "?d kg:mentions ?e . ?e rdf:type kg:Engine")
+    )
+    want = _duck_rows(
+        _duck(HAND),
+        bgp_match_sql(
+            "?d kg:mentions ?e . ?e rdf:type kg:Engine",
+            anti=None,
+        ),
+    )
+    assert got == want and len(got) == 5
+    # string groups for optional/anti too
+    a = _rows_nullsafe(
+        bgp_match(
+            hand_graph,
+            "?d kg:mentions ?e",
+            optional=["?d kg:source ?s"],
+            anti=["?e rdf:type kg:Draft"],
+        ).collect()
+    )
+    b = _rows_nullsafe(
+        _duck(HAND).execute(
+            bgp_match_sql(
+                "?d kg:mentions ?e",
+                optional=["?d kg:source ?s"],
+                anti=["?e rdf:type kg:Draft"],
+            )
+        ).fetchall()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_bgp_routes_patterns_to_best_layout(spark, tmp_path):
+    """Over a MaterializedGraph every pattern scans the layout whose
+    sort prefix matches its constants: the executed plan must read
+    the spo path for the constant-subject pattern, pos for the
+    constant-predicate one, and osp for the constant-object one."""
+    from triplestore_spark.operators.materialize import (
+        MaterializedGraph,
+        materialize_graph,
+    )
+
+    path = str(tmp_path / "mat")
+    materialize_graph(
+        spark.createDataFrame(HAND, S.TRIPLE_SCHEMA), path,
+        num_partitions=2,
+    )
+    g = MaterializedGraph(spark, path)
+    df = bgp_match(
+        g,
+        [
+            ("doc:2", "?p", "?e"),              # subject const -> spo
+            ("?e", "rdf:type", "?t"),           # predicate const -> pos
+            ("?e", "?p2", Obj("res", "kg:Engine")),  # object const -> osp
+        ],
+    )
+    files = "\n".join(df.inputFiles())
+    for layout in ("spo", "pos", "osp"):
+        assert f"/{layout}/" in files, layout
+    # and the semantics are unchanged vs the plain in-memory graph
+    flat = RDFGraph(
+        spark.createDataFrame(HAND, S.TRIPLE_SCHEMA), cache=False
+    )
+    want = _spark_rows(
+        bgp_match(
+            flat,
+            [
+                ("doc:2", "?p", "?e"),
+                ("?e", "rdf:type", "?t"),
+                ("?e", "?p2", Obj("res", "kg:Engine")),
+            ],
+        )
+    )
+    assert _spark_rows(df) == want and len(want) > 0

@@ -1,6 +1,7 @@
 from triplestore_spark.operators.bgp import (
     bgp_match,
     bgp_match_sql,
+    parse_bgp,
     property_path,
     strip_node_key,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "TripleSource",
     "bgp_match",
     "bgp_match_sql",
+    "parse_bgp",
     "property_path",
     "strip_node_key",
 ]

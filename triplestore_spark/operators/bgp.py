@@ -5,7 +5,10 @@ The reference's query surface stops at single-pattern point lookups
 Tree walk (tree.go). A knowledge-graph builder immediately needs the
 next rung: conjunctive patterns ("?doc kg:mentions ?e . ?doc
 kg:source src:web") and predicate chains ("?doc kg:mentions/rdf:type
-?t"). This module adds both as pure-Catalyst compositions — each
+?t"), plus SPARQL-style OPTIONAL groups (left joins) and
+FILTER-NOT-EXISTS negation (`anti=`, left-anti joins), with a small
+NT-flavored string syntax (parse_bgp) as the front door. This module
+adds all of it as pure-Catalyst compositions — each
 pattern is a filtered scan of the canonical table (or a materialized
 SPO/POS/OSP layout, where constant terms push down onto parquet
 stats), and shared variables become hash joins Catalyst is free to
@@ -129,10 +132,32 @@ def _pattern_scan(df: DataFrame, pat: Pattern) -> tuple[DataFrame, list[str]]:
     return out, list(bindings)
 
 
+def _layout_for(graph, default_df: DataFrame, pat: Pattern) -> DataFrame:
+    """Best materialized layout for one pattern's constant positions
+    (falls through to the graph's own frame for plain RDFGraphs /
+    DataFrames): subject const -> SPO, else predicate const -> POS
+    (predicate+object constants are BOTH on the POS sort prefix),
+    else object const -> OSP."""
+    from triplestore_spark.operators.materialize import MaterializedGraph
+
+    if not isinstance(graph, MaterializedGraph):
+        return default_df
+    s, p, o = pat
+    if not _is_var(s):
+        return graph._layout("spo")
+    if not _is_var(p):
+        return graph._layout("pos")
+    if not _is_var(o):
+        return graph._layout("osp")
+    return graph._layout("spo")
+
+
 def bgp_match(
     graph: RDFGraph | DataFrame,
-    patterns: Sequence[Pattern],
+    patterns: Sequence[Pattern] | str,
     *,
+    optional: Sequence[Sequence[Pattern] | str] | None = None,
+    anti: Sequence[Sequence[Pattern] | str] | None = None,
     allow_product: bool = False,
     distinct: bool = True,
 ) -> DataFrame:
@@ -140,7 +165,9 @@ def bgp_match(
     (first-appearance order), values are canonical node keys.
 
     Each term is '?name' (variable), a plain string (subject/predicate
-    IRI, or an IRI constant in object position), or an `Obj` constant.
+    IRI, or an IRI constant in object position), or an `Obj` constant;
+    `patterns` (and each optional/anti group) may also be one
+    parse_bgp string ('?d kg:mentions ?e . ?d kg:source src:web').
     `distinct=True` gives SPARQL's set semantics for the projected
     variables; False keeps one row per embedding.
 
@@ -150,8 +177,41 @@ def bgp_match(
     empty result) applied as a broadcast of a single-row limit scan.
     Disconnected groups raise unless allow_product=True (an explicit
     cartesian is almost never what you want at scale).
+
+    `optional` adds SPARQL-OPTIONAL groups: each group is itself a
+    pattern list, matched as a BGP and LEFT-joined on the variables it
+    shares with the required part — rows that fail the group keep
+    their required bindings with nulls in the group's new variables.
+    Only WELL-DESIGNED patterns are accepted (each group must share
+    >=1 variable with the required BGP, and a group's new variables
+    may not leak into other groups) — the shapes beyond that have
+    order-dependent semantics and are refused rather than silently
+    misevaluated. Each left join is a plain equi-join on already-bound
+    keys, so AQE can still broadcast or skew-split it.
+
+    `anti` adds negation (SPARQL FILTER NOT EXISTS): each group is
+    matched as a BGP and required-side rows with ANY match on the
+    shared variables are dropped (left-anti join — one shuffle-free
+    broadcast when the group result is small, never a row explosion).
+    Anti groups see the REQUIRED bindings only and bind no new output
+    columns; evaluation order is required -> anti -> optional.
+
+    Over a MaterializedGraph each pattern scans the LAYOUT whose sort
+    prefix matches its constant positions (subject const -> SPO,
+    else predicate const -> POS, else object const -> OSP — the
+    reference's WithX index routing, source.go:130-164, applied per
+    pattern), so every constant lands on parquet min/max stats of a
+    copy sorted for it.
     """
     df = graph.df if isinstance(graph, RDFGraph) else graph
+    if isinstance(patterns, str):
+        patterns = parse_bgp(patterns)
+    if optional is not None:
+        optional = [
+            parse_bgp(g) if isinstance(g, str) else g for g in optional
+        ]
+    if anti is not None:
+        anti = [parse_bgp(g) if isinstance(g, str) else g for g in anti]
     if not patterns:
         raise ValueError("bgp_match: no patterns")
 
@@ -159,7 +219,7 @@ def bgp_match(
     for pat in patterns:
         if len(pat) != 3:
             raise ValueError(f"pattern must be (s, p, o): {pat!r}")
-        scan, vars_ = _pattern_scan(df, pat)
+        scan, vars_ = _pattern_scan(_layout_for(graph, df, pat), pat)
         n_const = 3 - sum(_is_var(t) for t in pat)
         scans.append((scan, vars_, n_const))
 
@@ -202,6 +262,47 @@ def bgp_match(
             F.broadcast(gate.limit(1).select(F.lit(1).alias("_g"))),
             how="inner",
         ).drop("_g")
+
+    if anti:
+        for gi, group in enumerate(anti):
+            gdf = bgp_match(graph, group, distinct=False,
+                            allow_product=allow_product)
+            shared = sorted(set(bound) & set(gdf.columns))
+            if not shared:
+                raise ValueError(
+                    f"bgp_match: anti group {gi} shares no variable "
+                    "with the required patterns (not well-designed)"
+                )
+            cur = cur.join(gdf.select(*shared), on=shared,
+                           how="left_anti")
+
+    if optional:
+        required_vars = set(bound)
+        claimed: set[str] = set()
+        for gi, group in enumerate(optional):
+            gdf = bgp_match(graph, group, distinct=False,
+                            allow_product=allow_product)
+            gvars = set(gdf.columns)
+            shared = sorted(required_vars & gvars)
+            new = gvars - required_vars
+            if not shared:
+                raise ValueError(
+                    f"bgp_match: optional group {gi} shares no variable "
+                    "with the required patterns (not well-designed)"
+                )
+            leaked = new & claimed
+            if leaked:
+                raise ValueError(
+                    f"bgp_match: optional group {gi} reuses variables "
+                    f"{sorted(leaked)} from another optional group "
+                    "(not well-designed)"
+                )
+            claimed |= new
+            cur = cur.join(gdf, on=shared, how="left")
+            for v in group:
+                for t in v:
+                    if _is_var(t) and _var(t) not in var_order:
+                        var_order.append(_var(t))
 
     out = cur.select(*var_order)
     return out.distinct() if distinct else out
@@ -250,6 +351,80 @@ def property_path(
     return out.distinct() if distinct else out
 
 
+def parse_bgp(text: str) -> list[Pattern]:
+    """Parse a SPARQL-ish whitespace pattern string into the pattern
+    list bgp_match takes — a convenience front-end, not a SPARQL
+    parser (no PREFIX, no FILTER expressions, no grouping).
+
+        parse_bgp('?d kg:mentions ?e . ?d kg:source src:web')
+
+    Term syntax per position:
+      ?name                         variable
+      bare-token                    IRI (subject/predicate/object)
+      "text"                        xsd:string literal (object only)
+      "text"@lang                   lang-tagged literal
+      "text"^^type                  typed literal
+      _:label                       bnode (object only — subject
+                                    bnodes are rows, not constants)
+    Patterns separate on a standalone '.' token (NT style; a trailing
+    dot is optional). Quoted text may contain spaces, dots, and
+    escaped quotes (\\")."""
+    import re
+
+    # tokenize FIRST (a quoted literal is one token even when it
+    # contains spaces, dots, or escaped quotes), THEN split the token
+    # stream on standalone '.' separators
+    token_re = re.compile(
+        r'"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^\S+)?|\S+'
+    )
+    groups: list[list[str]] = [[]]
+    for tok in token_re.findall(text):
+        if tok == ".":
+            if groups[-1]:
+                groups.append([])
+        else:
+            groups[-1].append(tok)
+    pats: list[Pattern] = []
+    for toks in groups:
+        if not toks:
+            continue
+        if len(toks) != 3:
+            raise ValueError(
+                f"parse_bgp: pattern needs 3 terms, got {toks!r}"
+            )
+        s, p, o = toks
+        for t, pos in ((s, "subject"), (p, "predicate")):
+            if t.startswith('"') or t.startswith("_:"):
+                raise ValueError(
+                    f"parse_bgp: {pos} constant must be an IRI or "
+                    f"?var, got {t!r}"
+                )
+        pats.append((s, p, _parse_object_term(o)))
+    return pats
+
+
+def _parse_object_term(tok: str) -> Term:
+    import re
+
+    from triplestore_spark import schema as S
+
+    if tok.startswith("?") or not (
+        tok.startswith('"') or tok.startswith("_:")
+    ):
+        return tok  # variable or IRI string — bgp_match handles both
+    if tok.startswith("_:"):
+        return Obj(S.KIND_BNODE, tok[2:])
+    m = re.fullmatch(
+        r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(\S+))?', tok
+    )
+    if not m:
+        raise ValueError(f"parse_bgp: bad literal {tok!r}")
+    value = m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+    if m.group(2):
+        return Obj(S.KIND_LITERAL, value, "", m.group(2))
+    return Obj(S.KIND_LITERAL, value, m.group(3) or S.XSD_STRING)
+
+
 # ---------------------------------------------------------------- SQL
 
 _OKEY_SQL = (
@@ -272,15 +447,34 @@ def _sql_str(s: str) -> str:
 
 
 def bgp_match_sql(
-    patterns: Sequence[Pattern],
+    patterns: Sequence[Pattern] | str,
     table: str = "triples",
     *,
+    optional: Sequence[Sequence[Pattern] | str] | None = None,
+    anti: Sequence[Sequence[Pattern] | str] | None = None,
     distinct: bool = True,
 ) -> str:
     """ANSI-SQL equivalent of bgp_match over a component-column triple
     table — the independent oracle for differential tests (DuckDB runs
     it verbatim). Same node-key semantics, same join graph, expressed
-    as self-joins instead of the DataFrame plan."""
+    as self-joins instead of the DataFrame plan. `optional` groups
+    become LEFT JOINs of the group's own BGP subquery on the shared
+    variables and `anti` groups correlated NOT EXISTS predicates,
+    mirroring bgp_match's well-designed-pattern semantics (the same
+    validation errors are raised)."""
+    if isinstance(patterns, str):
+        patterns = parse_bgp(patterns)
+    if optional is not None:
+        optional = [
+            parse_bgp(g) if isinstance(g, str) else g for g in optional
+        ]
+    if anti is not None:
+        anti = [parse_bgp(g) if isinstance(g, str) else g for g in anti]
+    if optional or anti:
+        return _bgp_composite_sql(
+            patterns, optional or [], anti or [],
+            table=table, distinct=distinct,
+        )
     if not patterns:
         raise ValueError("no patterns")
     var_order: list[str] = []
@@ -346,3 +540,87 @@ def bgp_match_sql(
     conds = [f"({w})" for w in wheres] + exists
     where = " AND ".join(conds) if conds else "TRUE"
     return f"SELECT {kw}{cols} FROM {frm} WHERE {where}"
+
+
+def _pattern_vars(patterns: Sequence[Pattern]) -> list[str]:
+    """Variable names of a pattern list in first-appearance order."""
+    out: list[str] = []
+    for pat in patterns:
+        for t in pat:
+            if _is_var(t) and _var(t) not in out:
+                out.append(_var(t))
+    return out
+
+
+def _bgp_composite_sql(
+    patterns: Sequence[Pattern],
+    optional: Sequence[Sequence[Pattern]],
+    anti: Sequence[Sequence[Pattern]],
+    *,
+    table: str,
+    distinct: bool,
+) -> str:
+    """Required BGP subquery, filtered by one correlated NOT EXISTS
+    per anti group, LEFT-JOINed with one subquery per optional group
+    on their shared variables — the relational twin of bgp_match's
+    anti/optional path, with identical well-designedness checks so
+    both compilers refuse the same inputs. (The WHERE runs on
+    required-side columns only, so filtering after the left joins is
+    equivalent to bgp_match's required -> anti -> optional order.)"""
+    req_vars = _pattern_vars(patterns)
+    req_sql = bgp_match_sql(patterns, table, distinct=False)
+    var_order = list(req_vars)
+    claimed: set[str] = set()
+    joins: list[str] = []
+    not_exists: list[str] = []
+    for gi, group in enumerate(anti):
+        gvars = _pattern_vars(group)
+        shared = sorted(set(req_vars) & set(gvars))
+        if not shared:
+            raise ValueError(
+                f"bgp_match: anti group {gi} shares no variable "
+                "with the required patterns (not well-designed)"
+            )
+        g_sql = bgp_match_sql(group, table, distinct=False)
+        on = " AND ".join(f"a{gi}.{v} = req.{v}" for v in shared)
+        not_exists.append(
+            f"NOT EXISTS (SELECT 1 FROM ({g_sql}) a{gi} WHERE {on})"
+        )
+    for gi, group in enumerate(optional):
+        gvars = _pattern_vars(group)
+        shared = sorted(set(req_vars) & set(gvars))
+        new = set(gvars) - set(req_vars)
+        if not shared:
+            raise ValueError(
+                f"bgp_match: optional group {gi} shares no variable "
+                "with the required patterns (not well-designed)"
+            )
+        leaked = new & claimed
+        if leaked:
+            raise ValueError(
+                f"bgp_match: optional group {gi} reuses variables "
+                f"{sorted(leaked)} from another optional group "
+                "(not well-designed)"
+            )
+        claimed |= new
+        g_sql = bgp_match_sql(group, table, distinct=False)
+        on = " AND ".join(f"req.{v} = g{gi}.{v}" for v in shared)
+        joins.append(f"LEFT JOIN ({g_sql}) g{gi} ON {on}")
+        for v in gvars:
+            if v not in var_order:
+                var_order.append(v)
+
+    def src(v: str) -> str:
+        if v in req_vars:
+            return f"req.{v}"
+        for gi, group in enumerate(optional):
+            if v in _pattern_vars(group):
+                return f"g{gi}.{v}"
+        raise AssertionError(v)
+
+    kw = "DISTINCT " if distinct else ""
+    cols = ", ".join(f"{src(v)} AS {v}" for v in var_order)
+    sql = f"SELECT {kw}{cols} FROM ({req_sql}) req " + " ".join(joins)
+    if not_exists:
+        sql += " WHERE " + " AND ".join(not_exists)
+    return sql

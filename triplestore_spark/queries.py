@@ -1384,14 +1384,26 @@ def _bgp_star_patterns():
     ]
 
 
+def _bgp_star_optional():
+    # docs only SOMETIMES carry media: the optional group exercises
+    # both the matched and the null-filled side of the left join in
+    # every round's driver check
+    return [[("?doc", "kg:hasMedia", "?m")]]
+
+
 def _bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive BGP over the flagship KG: which entities are
     mentioned by documents of each source, and through which typing
     predicate — a 3-pattern star join on ?doc with a predicate
-    variable and a constant-object pattern (operators/bgp.py)."""
+    variable and a constant-object pattern — plus an OPTIONAL media
+    group LEFT-joined on ?doc (operators/bgp.py)."""
     from triplestore_spark.operators.bgp import bgp_match
 
-    return bgp_match(_pipeline_canonical(spark, sf_dir), _bgp_star_patterns())
+    return bgp_match(
+        _pipeline_canonical(spark, sf_dir),
+        _bgp_star_patterns(),
+        optional=_bgp_star_optional(),
+    )
 
 
 def _bgp_star_oracle() -> str:
@@ -1403,7 +1415,7 @@ def _bgp_star_oracle() -> str:
     from triplestore_spark.operators.bgp import bgp_match_sql
 
     return _BGP_STAR_ORACLE + bgp_match_sql(
-        _bgp_star_patterns(), table="bgp"
+        _bgp_star_patterns(), table="bgp", optional=_bgp_star_optional()
     )
 
 
