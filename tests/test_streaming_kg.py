@@ -88,3 +88,16 @@ def test_streaming_kg_equals_batch_pipeline(spark, sf_dir, tmp_path, doc_files):
         kg, [("?d", "kg:mentions", "?e"), ("?d", "rdf:type", "kg:Document")]
     )
     assert pairs.count() > 0
+
+    # lineage metrics: one row per committed micro-batch (4 input
+    # files => 4 batches at maxFilesPerTrigger=1), doc counts summing
+    # to the files' row counts (the duplicate slice counts as docs
+    # READ even though its triples were all dropped by the merge)
+    from triplestore_spark.streaming.kg import read_batch_metrics
+
+    m = read_batch_metrics(spark, table_dir).orderBy("batch_id")
+    rows = m.collect()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
+    n_docs_files = docs.count() + docs.where("doc_id % 3 = 0").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_files
+    assert all(r["n_candidate_triples"] > 0 for r in rows)

@@ -92,17 +92,35 @@ def stream_documents_into_kg(
 
     stream = stream_documents(spark, in_dir, schema, max_files_per_trigger)
     data_path = os.path.join(table_dir, "triples.parquet")
+    metrics_dir = os.path.join(table_dir, "_batch_metrics")
 
     def build_and_merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        n_docs = batch_df.count()
+        # persist: the merge and the metrics row both consume the
+        # extraction — without this the ER join would run twice
         triples = with_keys(
-            candidate_triples(batch_df.sparkSession, batch_df, strategy)
-        )
+            candidate_triples(sess, batch_df, strategy)
+        ).persist()
         merge_batch_into_sink(
             triples, data_path, n_buckets, lock_lease_ms=lock_lease_ms
         )
+        # per-batch lineage metrics (north_rule: triple-count metrics
+        # alongside the engine's WAL): one row per micro-batch, written
+        # AFTER the merge commits so a replayed batch overwrites its own
+        # row idempotently (partitioned by batch_id)
+        import time as _time
+
+        sess.createDataFrame(
+            [(batch_id, n_docs, triples.count(), _time.time())],
+            "batch_id long, n_docs long, n_candidate_triples long, ts double",
+        ).write.mode("overwrite").parquet(
+            os.path.join(metrics_dir, f"batch_id={batch_id}")
+        )
+        triples.unpersist()
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_sink(
-                batch_df.sparkSession, table_dir, lock_lease_ms=lock_lease_ms
+                sess, table_dir, lock_lease_ms=lock_lease_ms
             )
 
     writer = stream.writeStream.foreachBatch(build_and_merge).option(
@@ -111,3 +129,11 @@ def stream_documents_into_kg(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_batch_metrics(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Per-micro-batch lineage metrics of a streamed KG: (batch_id,
+    n_docs, n_candidate_triples, ts). One row per committed batch;
+    replays overwrite their own row, so the table stays exactly-once
+    like the sink itself."""
+    return spark.read.parquet(os.path.join(table_dir, "_batch_metrics"))
