@@ -592,3 +592,71 @@ def test_bgp_routes_patterns_to_best_layout(spark, tmp_path):
         )
     )
     assert _spark_rows(df) == want and len(want) > 0
+
+
+# -- property path inverse + alternation -----------------------------
+
+
+def test_property_path_inverse_comention(hand_graph):
+    """doc -mentions/^mentions-> doc: co-mention pairs (docs sharing
+    an entity), including self-pairs — vs a DuckDB twin built from
+    the equivalent two-pattern BGP."""
+    got = _spark_rows(
+        property_path(hand_graph, ["kg:mentions", "^kg:mentions"])
+    )
+    con = _duck(HAND)
+    sql = bgp_match_sql(
+        [("?src", "kg:mentions", "?m"), ("?dst", "kg:mentions", "?m")],
+        distinct=False,
+    )
+    want = _duck_rows(con, f"SELECT DISTINCT src, dst FROM ({sql})")
+    assert got == want and len(got) > 0
+    assert ("<doc:1>", "<doc:2>") in got  # both mention e:spark
+    assert ("_:b0", "<doc:1>") in got     # bnode doc co-mentions too
+
+
+@pytest.mark.parametrize("seed", [17, 31])
+def test_property_path_alternation_differential(spark, seed):
+    """(p0|p1)/p2 == UNION of the two branches' first hops chained
+    into p2, bag-exact under distinct=False."""
+    rows = _random_rows(seed)
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    con = _duck(rows)
+    for distinct in (True, False):
+        got = sorted(
+            tuple(r)
+            for r in property_path(
+                g, ["p0|p1", "p2"], distinct=distinct
+            ).collect()
+        )
+        b0 = bgp_match_sql(
+            [("?src", "p0", "?h0"), ("?h0", "p2", "?dst")], distinct=False
+        )
+        b1 = bgp_match_sql(
+            [("?src", "p1", "?h0"), ("?h0", "p2", "?dst")], distinct=False
+        )
+        kw = "DISTINCT " if distinct else ""
+        want = _duck_rows(
+            con,
+            f"SELECT {kw}src, dst FROM ({b0} UNION ALL {b1})",
+        )
+        assert got == want, (seed, distinct)
+    assert len(got) > 0
+
+
+def test_property_path_inverse_with_pinned_start(hand_graph):
+    """^mentions from a pinned entity: which docs mention it (the
+    start constant sits in the OBJECT position of the inverse hop)."""
+    got = _spark_rows(
+        property_path(hand_graph, ["^kg:mentions"], start="e:duck")
+    )
+    # start pinned -> only dst projected; e:duck is mentioned by 2, 3
+    assert got == [("<doc:2>",), ("<doc:3>",)]
+
+
+def test_property_path_bad_steps_refused(hand_graph):
+    from triplestore_spark.operators.bgp import property_path as pp
+
+    for bad in (["p0", ""], ["p0", "^"], ["?v"], ["p0||p1"]):
+        with pytest.raises(ValueError):
+            pp(hand_graph, bad)

@@ -308,19 +308,43 @@ def bgp_match(
     return out.distinct() if distinct else out
 
 
+def _path_step_alternatives(step) -> list[str]:
+    """Normalize one path step to its alternative list: 'p', '^p'
+    (inverse), 'p1|p2|^p3' (alternation), or an explicit list."""
+    if isinstance(step, str):
+        alts = [a.strip() for a in step.split("|")]
+    else:
+        alts = [str(a).strip() for a in step]
+    if not alts or any(not a or a == "^" for a in alts):
+        raise ValueError(f"property_path: bad step {step!r}")
+    for a in alts:
+        if _is_var(a.lstrip("^")):
+            raise ValueError("property_path: predicates must be constants")
+    return alts
+
+
 def property_path(
     graph: RDFGraph | DataFrame,
-    path: Sequence[str],
+    path: Sequence[str | Sequence[str]],
     *,
     start: Term | None = None,
     end: Term | None = None,
     distinct: bool = True,
 ) -> DataFrame:
     """Fixed-length predicate chain p1/p2/.../pk -> (src, dst) node
-    keys. Just a BGP whose hop variables stitch object-of-step-i to
-    subject-of-step-i+1 — exact because both positions bind the same
-    node-key space. `start`/`end` pin the endpoints (subject string /
-    Obj or IRI string respectively).
+    keys. Each step is a predicate IRI, an INVERSE step '^p' (walked
+    object -> subject), or an ALTERNATION 'p1|p2' / ['p1', '^p2']
+    (SPARQL alt semantics: union of the alternatives' hops). Hop
+    variables stitch object-of-step-i to subject-of-step-i+1 — exact
+    because both positions bind the same node-key space. `start`/`end`
+    pin the endpoints (subject string / Obj or IRI string
+    respectively).
+
+    A single-alternative step compiles to one BGP pattern (constants
+    push down onto the best layout, see bgp_match); an alternation
+    step compiles to the UNION of its alternatives' one-pattern scans
+    before the chain join, so the union runs before the shuffle and
+    each branch still pushes its predicate filter down.
 
     For the transitive p+ walk from a constant root, use
     operators.tree.Tree(graph, p).descendants(root) — level-synchronous
@@ -329,25 +353,43 @@ def property_path(
     """
     if not path:
         raise ValueError("property_path: empty path")
+    steps = [_path_step_alternatives(s) for s in path]
     terms: list[Term] = ["?src" if start is None else start]
-    pats: list[Pattern] = []
-    for i, pred in enumerate(path):
-        if _is_var(pred):
-            raise ValueError("property_path: predicates must be constants")
-        dst: Term = f"?h{i}" if i < len(path) - 1 else (
-            "?dst" if end is None else end
-        )
-        pats.append((terms[-1], pred, dst))
-        terms.append(dst)
+    for i in range(len(steps) - 1):
+        terms.append(f"?h{i}")
+    terms.append("?dst" if end is None else end)
+
+    cur: DataFrame | None = None
+    bound: set[str] = set()
+    for i, alts in enumerate(steps):
+        src_t, dst_t = terms[i], terms[i + 1]
+        frames = []
+        for a in alts:
+            if a.startswith("^"):
+                pat: Pattern = (dst_t, a[1:], src_t)
+            else:
+                pat = (src_t, a, dst_t)
+            frames.append(bgp_match(graph, [pat], distinct=False))
+        step_df = frames[0]
+        for f in frames[1:]:
+            step_df = step_df.unionByName(f)
+        if cur is None:
+            cur, bound = step_df, set(step_df.columns)
+        else:
+            shared = sorted(bound & set(step_df.columns))
+            if not shared:
+                # both endpoints of this step pinned mid-chain cannot
+                # happen (internal terms are always hop variables)
+                raise AssertionError("disconnected path step")
+            cur = cur.join(step_df, on=shared)
+            bound |= set(step_df.columns)
+
     # distinct AFTER projecting away the internal hop vars — deduping
-    # the full embedding first would keep one row per hop witness
-    out = bgp_match(graph, pats, distinct=False)
-    # pinned endpoints drop out of the projection by construction;
-    # the remaining hop vars are internal — keep only src/dst (with
-    # both endpoints pinned, the hop bindings are the witness rows)
-    keep = [c for c in ("src", "dst") if c in out.columns]
-    if keep:
-        out = out.select(*keep)
+    # the full embedding first would keep one row per hop witness.
+    # Pinned endpoints drop out of the projection by construction;
+    # with both endpoints pinned the hop bindings are the witness rows.
+    keep = [c for c in ("src", "dst") if c in bound]
+    out = cur.select(*keep) if keep else cur
     return out.distinct() if distinct else out
 
 
