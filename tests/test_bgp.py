@@ -660,3 +660,101 @@ def test_property_path_bad_steps_refused(hand_graph):
     for bad in (["p0", ""], ["p0", "^"], ["?v"], ["p0||p1"]):
         with pytest.raises(ValueError):
             pp(hand_graph, bad)
+
+
+# -- parse_node_key + bgp_construct ----------------------------------
+
+
+def test_parse_node_key_roundtrip_nasty_values(spark):
+    """parse∘render == identity on adversarial literals: values
+    containing quotes, '@', '^^<...>', '>' and unicode — the okey
+    grammar keeps the terminal suffix unambiguous (greedy value)."""
+    from triplestore_spark.functions.keys import with_keys
+    from triplestore_spark.operators.bgp import parse_node_key
+
+    rows = [
+        ("s", False, "p", "lit", 'pla"in', "xsd:string", ""),
+        ("s", False, "p", "lit", 'a"@en', "xsd:string", ""),
+        ("s", False, "p", "lit", 'x"^^<xsd:integer>', "xsd:string", ""),
+        ("s", False, "p", "lit", 'q"@de"w', "", "en"),
+        ("s", False, "p", "lit", "42", "xsd:integer", ""),
+        ("s", False, "p", "lit", "héllo <wörld>", "", "fr"),
+        ("s", False, "p", "res", "http://x/y?a=b&c=d", "", ""),
+        ("s", False, "p", "bnode", "b42", "", ""),
+        ("s", False, "p", "lit", "", "xsd:string", ""),
+    ]
+    df = with_keys(spark.createDataFrame(rows, S.TRIPLE_SCHEMA))
+    _, kind, value, typ, lang = parse_node_key("okey")
+    back = df.select(
+        "object_kind", "object_value", "object_type", "object_lang",
+        kind.alias("k"), value.alias("v"), typ.alias("t"), lang.alias("l"),
+    )
+    for r in back.collect():
+        assert r["k"] == r["object_kind"], r
+        assert r["v"] == r["object_value"], r
+        # lang-tagged okeys omit the datatype by design (identity rule)
+        if not r["object_lang"]:
+            assert r["t"] == r["object_type"], r
+        assert r["l"] == r["object_lang"], r
+
+
+def test_bgp_construct_comention_edges(hand_graph):
+    """CONSTRUCT kg:coMentioned edges from the co-mention BGP; the
+    result is canonical keyed triples equal to the DuckDB twin."""
+    from triplestore_spark.operators.bgp import bgp_construct
+
+    out = bgp_construct(
+        hand_graph,
+        [("?a", "kg:mentions", "?m"), ("?b", "kg:mentions", "?m")],
+        [("?a", "kg:coMentioned", "?b")],
+    )
+    got = sorted(
+        (r["subject"], bool(r["subject_is_bnode"]), r["predicate"],
+         r["object_kind"], r["object_value"])
+        for r in out.collect()
+    )
+    con = _duck(HAND)
+    sql = bgp_match_sql(
+        [("?a", "kg:mentions", "?m"), ("?b", "kg:mentions", "?m")],
+        distinct=False,
+    )
+    want = sorted(
+        set(
+            (
+                a[1:-1] if a.startswith("<") else a[2:],
+                a.startswith("_:"),
+                "kg:coMentioned",
+                "bnode" if b.startswith("_:") else "res",
+                b[1:-1] if b.startswith("<") else b[2:],
+            )
+            for a, b in con.execute(
+                f"SELECT a, b FROM ({sql})"
+            ).fetchall()
+        )
+    )
+    assert got == want and len(got) > 0
+    # tkeys present and unique (canonical output)
+    keys = [r["tkey"] for r in out.select("tkey").collect()]
+    assert len(keys) == len(set(keys))
+
+
+def test_bgp_construct_optional_null_drops_instantiation(hand_graph):
+    """A template triple whose variable is null (unmatched OPTIONAL)
+    is skipped for that row; the other template triples still fire."""
+    from triplestore_spark.operators.bgp import bgp_construct
+
+    out = bgp_construct(
+        hand_graph,
+        [("?d", "kg:mentions", "?e")],
+        [
+            ("?d", "kg:entity", "?e"),
+            ("?d", "kg:from", "?s"),
+        ],
+        optional=[[("?d", "kg:source", "?s")]],
+    )
+    rows = out.collect()
+    ents = [r for r in rows if r["predicate"] == "kg:entity"]
+    froms = [r for r in rows if r["predicate"] == "kg:from"]
+    assert len(ents) == 5          # every mention row
+    assert len(froms) == 2         # doc:1->web, doc:2->book only
+    assert {r["subject"] for r in froms} == {"doc:1", "doc:2"}

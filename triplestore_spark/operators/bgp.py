@@ -93,6 +93,115 @@ def strip_node_key(col: Column | str) -> Column:
     )
 
 
+def parse_node_key(c: Column | str):
+    """Exact inverse of the node-key rendering: one column of node
+    keys -> (is_bnode_subjectable, kind, value, typ, lang) component
+    expressions. The okey grammar makes this unambiguous with greedy
+    anchored regexes: a datatype IRI cannot contain '>', a lang tag is
+    [A-Za-z0-9-]+, and the GREEDY (.*) over the value means the
+    terminal '"^^<type>' / '"@lang' is always the real suffix even
+    when the value itself contains quotes, '@', or '^^<'."""
+    c = F.col(c) if isinstance(c, str) else c
+    typed = r'^"(.*)"\^\^<([^>]*)>$'
+    langd = r'^"(.*)"@([A-Za-z0-9-]+)$'
+    is_res = c.startswith("<")
+    is_bnode = c.startswith("_:")
+    is_typed = c.rlike(typed)
+    is_lang = ~is_typed & c.rlike(langd)
+    kind = (
+        F.when(is_res, F.lit(KIND_RESOURCE))
+        .when(is_bnode, F.lit("bnode"))
+        .otherwise(F.lit("lit"))
+    )
+    value = (
+        F.when(is_res, F.substring(c, 2, F.length(c) - 2))
+        .when(is_bnode, F.substring(c, 3, F.length(c) - 2))
+        .when(is_typed, F.regexp_extract(c, typed, 1))
+        .otherwise(F.regexp_extract(c, langd, 1))
+    )
+    typ = F.when(is_typed, F.regexp_extract(c, typed, 2)).otherwise(F.lit(""))
+    lang = F.when(is_lang, F.regexp_extract(c, langd, 2)).otherwise(F.lit(""))
+    return is_bnode, kind, value, typ, lang
+
+
+def bgp_construct(
+    graph: RDFGraph | DataFrame,
+    patterns: Sequence[Pattern] | str,
+    template: Sequence[Pattern],
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL-CONSTRUCT analog: match `patterns` (plus any
+    optional/anti/distinct kwargs bgp_match takes), then instantiate
+    each `template` triple once per binding row — the KG
+    transformation primitive (derive kg:relatedTo edges from
+    co-mentions, reshape extraction output, build views).
+
+    Template terms: '?var' (subject/object take the variable's node
+    key apart exactly — bnodes stay bnodes, typed/lang literals keep
+    their components; predicate variables must hold IRIs), a constant
+    IRI string, or an `Obj` constant in object position. Binding rows
+    where a template slot is null (an unmatched OPTIONAL variable)
+    drop that instantiation, per SPARQL. Returns deduped canonical
+    component triples (keyed), union-ready for RDFGraph.add."""
+    from triplestore_spark.operators.graph import dedup_triples
+
+    bound = bgp_match(graph, patterns, distinct=False, **match_kwargs)
+    outs = []
+    for s, p, o in template:
+        cols = {}
+        if _is_var(s):
+            key = F.col(_var(s))
+            is_b, _, val, _, _ = parse_node_key(key)
+            cols["subject"] = val
+            cols["subject_is_bnode"] = is_b
+            # literal bindings cannot be subjects — that instantiation
+            # is skipped, per SPARQL CONSTRUCT
+            guard = key.isNotNull() & (
+                key.startswith("<") | key.startswith("_:")
+            )
+        else:
+            cols["subject"] = F.lit(s)
+            cols["subject_is_bnode"] = F.lit(False)
+            guard = F.lit(True)
+        if _is_var(p):
+            pk = F.col(_var(p))
+            cols["predicate"] = F.substring(pk, 2, F.length(pk) - 2)
+            guard = guard & pk.isNotNull() & pk.startswith("<")
+        else:
+            cols["predicate"] = F.lit(p)
+        if _is_var(o):
+            ok = F.col(_var(o))
+            _, kind, val, typ, lang = parse_node_key(ok)
+            cols["object_kind"] = kind
+            cols["object_value"] = val
+            cols["object_type"] = typ
+            cols["object_lang"] = lang
+            guard = guard & ok.isNotNull()
+        else:
+            ob = _as_obj(o)
+            cols["object_kind"] = F.lit(ob.kind)
+            cols["object_value"] = F.lit(ob.value)
+            cols["object_type"] = F.lit(ob.typ or "")
+            cols["object_lang"] = F.lit(ob.lang or "")
+        outs.append(
+            bound.where(guard).select(
+                cols["subject"].alias("subject"),
+                cols["subject_is_bnode"].alias("subject_is_bnode"),
+                cols["predicate"].alias("predicate"),
+                cols["object_kind"].alias("object_kind"),
+                cols["object_value"].alias("object_value"),
+                cols["object_type"].alias("object_type"),
+                cols["object_lang"].alias("object_lang"),
+            )
+        )
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    # dedup_triples dedups on the component columns then (re)computes
+    # the canonical keys post-shuffle
+    return dedup_triples(out)
+
+
 def _pattern_scan(df: DataFrame, pat: Pattern) -> tuple[DataFrame, list[str]]:
     """One pattern -> (bindings DataFrame, variable names).
 
