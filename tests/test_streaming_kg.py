@@ -101,3 +101,60 @@ def test_streaming_kg_equals_batch_pipeline(spark, sf_dir, tmp_path, doc_files):
     n_docs_files = docs.count() + docs.where("doc_id % 3 = 0").count()
     assert sum(r["n_docs"] for r in rows) == n_docs_files
     assert all(r["n_candidate_triples"] > 0 for r in rows)
+
+
+def test_streaming_kg_crash_after_commit_replays_idempotently(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The worst failure point: the micro-batch's sink append COMMITS,
+    then the driver dies before the WAL marks the batch done. On
+    restart Spark replays the batch; the tkey anti-join merge must
+    absorb the duplicate append bit-exactly."""
+    import triplestore_spark.streaming.kg as kg_mod
+    from triplestore_spark.operators.graph import dedup_triples
+    from triplestore_spark.pipeline.run import candidate_triples
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    [f] = [p for p in (tmp_path / "stage").iterdir()
+           if p.name.endswith(".parquet")]
+    f.rename(in_dir / "docs.parquet")
+
+    table_dir = str(tmp_path / "kg")
+    cp_dir = str(tmp_path / "cp")
+
+    real_merge = kg_mod.merge_batch_into_sink
+    crashed = {"done": False}
+
+    def merge_then_crash(batch_df, data_path, *a, **kw):
+        real_merge(batch_df, data_path, *a, **kw)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash AFTER sink commit")
+
+    monkeypatch.setattr(kg_mod, "merge_batch_into_sink", merge_then_crash)
+    q = stream_documents_into_kg(spark, str(in_dir), table_dir, cp_dir)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+        # availableNow surfaces the foreachBatch error on the query
+        q.processAllAvailable()
+    assert crashed["done"]
+    # sink already holds the batch's triples; WAL never committed it
+    monkeypatch.setattr(kg_mod, "merge_batch_into_sink", real_merge)
+
+    q2 = stream_documents_into_kg(spark, str(in_dir), table_dir, cp_dir)
+    q2.awaitTermination(180)
+
+    got = sorted(
+        r["tkey"]
+        for r in read_sink(spark, table_dir).select("tkey").collect()
+    )
+    want = sorted(
+        r["tkey"]
+        for r in dedup_triples(candidate_triples(spark, docs))
+        .select("tkey")
+        .collect()
+    )
+    assert got == want and len(got) == len(set(got)) > 0
