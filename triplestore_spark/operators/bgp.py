@@ -253,12 +253,12 @@ def _layout_for(graph, default_df: DataFrame, pat: Pattern) -> DataFrame:
         return default_df
     s, p, o = pat
     if not _is_var(s):
-        return graph._layout("spo")
+        return graph.layout("spo")
     if not _is_var(p):
-        return graph._layout("pos")
+        return graph.layout("pos")
     if not _is_var(o):
-        return graph._layout("osp")
-    return graph._layout("spo")
+        return graph.layout("osp")
+    return graph.layout("spo")
 
 
 def bgp_match(

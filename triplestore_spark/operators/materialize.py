@@ -145,11 +145,15 @@ class MaterializedGraph(RDFGraph):
         with open(os.path.join(path, MANIFEST)) as f:
             self.manifest = json.load(f)
         self._layout_cache: dict[str, DataFrame] = {}
-        base = self._layout("spo")
+        base = self.layout("spo")
         super().__init__(base, cache=False)
         self._count = self.manifest["fingerprint"]["count"]
 
-    def _layout(self, name: str) -> DataFrame:
+    def layout(self, name: str) -> DataFrame:
+        """The keyed frame of one sorted layout ('spo'/'pos'/'osp');
+        falls back to the first materialized layout when the requested
+        one was not written. Public: BGP pattern routing
+        (operators/bgp.py) picks its scan source here."""
         if name not in self._layout_cache:
             if name not in self.manifest["layouts"]:
                 name = self.manifest["layouts"][0]
@@ -164,31 +168,31 @@ class MaterializedGraph(RDFGraph):
 
     # route each lookup to the best-sorted copy
     def with_subject(self, s: str) -> DataFrame:
-        return self._layout("spo").where(F.col("subject") == s)
+        return self.layout("spo").where(F.col("subject") == s)
 
     def with_subj_pred(self, s: str, p: str) -> DataFrame:
-        return self._layout("spo").where(
+        return self.layout("spo").where(
             (F.col("subject") == s) & (F.col("predicate") == p)
         )
 
     def with_subj_obj(self, s: str, o: Obj) -> DataFrame:
         from triplestore_spark.operators.graph import object_predicate
 
-        return self._layout("spo").where(
+        return self.layout("spo").where(
             (F.col("subject") == s) & object_predicate(o)
         )
 
     def with_predicate(self, p: str) -> DataFrame:
-        return self._layout("pos").where(F.col("predicate") == p)
+        return self.layout("pos").where(F.col("predicate") == p)
 
     def with_pred_obj(self, p: str, o: Obj) -> DataFrame:
         from triplestore_spark.operators.graph import object_predicate
 
-        return self._layout("pos").where(
+        return self.layout("pos").where(
             (F.col("predicate") == p) & object_predicate(o)
         )
 
     def with_object(self, o: Obj) -> DataFrame:
         from triplestore_spark.operators.graph import object_predicate
 
-        return self._layout("osp").where(object_predicate(o))
+        return self.layout("osp").where(object_predicate(o))
