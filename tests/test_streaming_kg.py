@@ -158,3 +158,51 @@ def test_streaming_kg_crash_after_commit_replays_idempotently(
         .collect()
     )
     assert got == want and len(got) == len(set(got)) > 0
+
+
+def test_streamed_kg_materializes_and_answers_layout_routed_bgp(
+    spark, sf_dir, tmp_path
+):
+    """The full round-5 story in one flow: stream documents into the
+    KG sink, materialize the three sorted layouts from it, and answer
+    a conjunctive BGP whose patterns route to SPO and POS — equal to
+    the same BGP over the in-memory batch pipeline graph."""
+    from triplestore_spark.operators.bgp import bgp_match
+    from triplestore_spark.operators.graph import dedup_triples
+    from triplestore_spark.operators.materialize import (
+        MaterializedGraph,
+        materialize_graph,
+    )
+    from triplestore_spark.pipeline.run import candidate_triples
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    [f] = [p for p in (tmp_path / "stage").iterdir()
+           if p.name.endswith(".parquet")]
+    f.rename(in_dir / "docs.parquet")
+
+    table_dir = str(tmp_path / "kg")
+    q = stream_documents_into_kg(
+        spark, str(in_dir), table_dir, str(tmp_path / "cp")
+    )
+    q.awaitTermination(180)
+
+    mat_dir = str(tmp_path / "mat")
+    materialize_graph(read_sink(spark, table_dir), mat_dir,
+                      num_partitions=4)
+    g = MaterializedGraph(spark, mat_dir)
+    pats = [
+        ("doc:7", "?p", "?o"),            # SPO route
+        ("?d", "kg:mentions", "?o"),      # POS route
+    ]
+    got = bgp_match(g, pats)
+    files = "\n".join(got.inputFiles())
+    assert "/spo/" in files and "/pos/" in files
+    want = bgp_match(
+        dedup_triples(candidate_triples(spark, docs)), pats
+    )
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a == b and len(a) > 0
