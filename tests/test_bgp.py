@@ -758,3 +758,20 @@ def test_bgp_construct_optional_null_drops_instantiation(hand_graph):
     assert len(ents) == 5          # every mention row
     assert len(froms) == 2         # doc:1->web, doc:2->book only
     assert {r["subject"] for r in froms} == {"doc:1", "doc:2"}
+
+
+def test_rdfgraph_query_and_describe(hand_graph):
+    """RDFGraph.query is the bgp_match front door; describe returns
+    every triple touching a node in either role."""
+    got = _spark_rows(
+        hand_graph.query("?d kg:mentions ?e . ?e rdf:type kg:Engine")
+    )
+    assert len(got) == 5
+    d = hand_graph.describe("e:spark")
+    rows = {(r["subject"], r["predicate"]) for r in d.collect()}
+    # as subject: rdf:type + two kg:name; as object: three mentions
+    assert ("e:spark", "rdf:type") in rows
+    assert ("e:spark", "kg:name") in rows
+    assert ("doc:1", "kg:mentions") in rows
+    assert ("b0", "kg:mentions") in rows
+    assert d.count() == 6

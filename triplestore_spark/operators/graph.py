@@ -102,6 +102,34 @@ class RDFGraph:
         """Driver-side materialization for traversal/tests."""
         return [row_to_triple(r) for r in self._df.collect()]
 
+    # -- pattern queries (operators/bgp.py) --
+
+    def query(self, patterns, **kwargs) -> DataFrame:
+        """Conjunctive BGP over this graph — the front door for
+        everything beyond point lookups:
+
+            g.query('?d kg:mentions ?e . ?d kg:source src:web')
+            g.query(pats, optional=[...], anti=[...])
+
+        See operators.bgp.bgp_match for the full surface (pattern
+        lists, OPTIONAL groups, NOT-EXISTS negation, distinct)."""
+        from triplestore_spark.operators.bgp import bgp_match
+
+        return bgp_match(self, patterns, **kwargs)
+
+    def describe(self, node: str) -> DataFrame:
+        """Every triple touching `node` (as subject, or as resource /
+        bnode object) — the exploration helper SPARQL calls DESCRIBE.
+        One pass, two component filters OR'd (both prune on a
+        materialized layout's stats)."""
+        return self._df.where(
+            (F.col("subject") == node)
+            | (
+                F.col("object_kind").isin(S.KIND_RESOURCE, S.KIND_BNODE)
+                & (F.col("object_value") == node)
+            )
+        )
+
     # -- the six point lookups (reference source.go:203-220) --
 
     def with_subject(self, s: str) -> DataFrame:
