@@ -679,6 +679,11 @@ def test_parse_node_key_roundtrip_nasty_values(spark):
         ("s", False, "p", "lit", 'q"@de"w', "", "en"),
         ("s", False, "p", "lit", "42", "xsd:integer", ""),
         ("s", False, "p", "lit", "héllo <wörld>", "", "fr"),
+        # raw newlines in the value (multi-line document text) —
+        # regression for the missing-(?s) silent-corruption bug
+        ("s", False, "p", "lit", "line1\nline2\n", "xsd:string", ""),
+        ("s", False, "p", "lit", "para\n\nbreak", "", "en"),
+        ("s", False, "p", "lit", "tail\n", "xsd:integer", ""),
         ("s", False, "p", "res", "http://x/y?a=b&c=d", "", ""),
         ("s", False, "p", "bnode", "b42", "", ""),
         ("s", False, "p", "lit", "", "xsd:string", ""),
@@ -775,3 +780,130 @@ def test_rdfgraph_query_and_describe(hand_graph):
     assert ("doc:1", "kg:mentions") in rows
     assert ("b0", "kg:mentions") in rows
     assert d.count() == 6
+
+
+# -- Kleene / bounded quantifiers (p*, p+, p{m,n}) --------------------
+
+
+CYCLE = [
+    ("a", False, "p", "res", "b", "", ""),
+    ("b", False, "p", "res", "c", "", ""),
+    ("c", False, "p", "res", "a", "", ""),   # cycle a->b->c->a
+    ("c", False, "p", "res", "d", "", ""),
+    ("x", False, "p", "res", "y1", "", ""),  # diamond x->y1/y2->z
+    ("x", False, "p", "res", "y2", "", ""),
+    ("y1", False, "p", "res", "z", "", ""),
+    ("y2", False, "p", "res", "z", "", ""),
+    ("d", False, "q", "res", "t", "", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def cycle_graph(spark):
+    return RDFGraph(
+        spark.createDataFrame(CYCLE, S.TRIPLE_SCHEMA), cache=False
+    )
+
+
+def _path_rows(g, path, **kw):
+    return _spark_rows(property_path(g, path, **kw))
+
+
+def test_kleene_closure_on_cycle(cycle_graph):
+    """p+ / p* from a root on a CYCLIC graph terminate and give the
+    exact reachable set (the anti-join visited set is what makes the
+    frontier expansion cycle-safe)."""
+    reach = [("<a>",), ("<b>",), ("<c>",), ("<d>",)]
+    assert _path_rows(cycle_graph, ["p+"], start="a") == reach
+    # p*: zero-hop row adds the root itself (already in via the cycle)
+    assert _path_rows(cycle_graph, ["p*"], start="a") == reach
+    # diamond: two routes dedup to one pair per destination
+    assert _path_rows(cycle_graph, ["p*"], start="x") == [
+        ("<x>",), ("<y1>",), ("<y2>",), ("<z>",)
+    ]
+
+
+def test_kleene_bounded_quantifiers(cycle_graph):
+    assert _path_rows(cycle_graph, ["p{2}"], start="a") == [("<c>",)]
+    assert _path_rows(cycle_graph, ["p{1,2}"], start="a") == [
+        ("<b>",), ("<c>",)
+    ]
+    assert _path_rows(cycle_graph, ["p{0,1}"], start="a") == [
+        ("<a>",), ("<b>",)
+    ]
+    # {2,}: everything 2+ hops out on the cycle (wraps all the way)
+    assert _path_rows(cycle_graph, ["p{2,}"], start="a") == [
+        ("<a>",), ("<b>",), ("<c>",), ("<d>",)
+    ]
+
+
+def test_kleene_differential_vs_recursive_cte(spark):
+    """Random graph: Spark frontier closure == DuckDB WITH RECURSIVE
+    (property_path_sql) on every quantifier shape, rooted, unrooted
+    with a fixed step, and reversed (pinned end)."""
+    from triplestore_spark.operators.bgp import property_path_sql
+
+    rows = _random_rows(23)
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    con = _duck(rows)
+    cases = [
+        (["p0+"], {"start": "e1"}),
+        (["p0*"], {"start": "e1"}),
+        (["p0{1,3}"], {"start": "e1"}),
+        (["p0{2}"], {"start": "e1"}),
+        (["p0|p1*"], {"start": "e1"}),     # (p0|p1)* — whole step
+        (["^p0*"], {"start": "e1"}),       # inverse closure
+        (["p0*", "p1"], {}),               # unrooted: reversed walk
+        (["p0*"], {"end": "e3"}),          # pinned end only
+        (["p1", "p0+"], {"start": "e2"}),  # mid-chain closure
+        (["p1", "p0*", "p2"], {}),         # closure between fixed steps
+    ]
+    nonempty = 0
+    for path, kw in cases:
+        got = _spark_rows(property_path(g, path, **kw))
+        sql = property_path_sql(path, **kw)
+        want = _duck_rows(con, sql)
+        assert got == want, (path, kw)
+        nonempty += bool(got)
+    assert nonempty >= 8  # the differentials must not be vacuous
+
+
+def test_kleene_all_pairs_refused(hand_graph):
+    with pytest.raises(ValueError, match="closure"):
+        property_path(hand_graph, ["kg:mentions*"])
+    with pytest.raises(ValueError, match="closure"):
+        property_path(hand_graph, ["kg:mentions*", "rdf:type+"])
+
+
+def test_kleene_bad_quantifiers_refused(hand_graph):
+    with pytest.raises(ValueError):
+        property_path(hand_graph, ["p{3,2}"], start="a")
+
+
+def test_kleene_max_depth_raises(spark):
+    """A long chain past closure_max_depth raises instead of silently
+    truncating the closure."""
+    rows = [
+        (f"n{i}", False, "p", "res", f"n{i+1}", "", "") for i in range(12)
+    ]
+    g = RDFGraph(spark.createDataFrame(rows, S.TRIPLE_SCHEMA), cache=False)
+    with pytest.raises(ValueError, match="closure_max_depth"):
+        property_path(g, ["p*"], start="n0", closure_max_depth=4).collect()
+    # and a depth that fits succeeds with the full reachable set
+    got = _path_rows(g, ["p+"], start="n0", closure_max_depth=16)
+    assert len(got) == 12
+
+
+def test_property_path_literal_endpoint_in_subject_slot_refused(hand_graph):
+    """ADVICE r5: an Obj literal pinned where a step needs it as
+    SUBJECT must raise a descriptive ValueError, not a Py4J error."""
+    lit = Obj("lit", "Spark", "xsd:string", "")
+    # inverse step: end= lands in the reversed pattern's subject slot
+    with pytest.raises(ValueError, match="subject position"):
+        property_path(hand_graph, ["^kg:name"], end=lit)
+    # forward step: a literal start is the subject of the first hop
+    with pytest.raises(ValueError, match="subject position"):
+        property_path(hand_graph, ["kg:mentions"], start=lit)
+    # but a literal END on a FORWARD step is fine (object slot):
+    got = _path_rows(hand_graph, ["kg:name"], end=lit)
+    assert got == [("<e:spark>",)]

@@ -111,9 +111,10 @@ def main():
         "files_before_compact": files_before,
         "files_after_compact": files_after,
         "no_crash_markers": markers_ok,
-        "pass": ok,
     }
-    print(json.dumps(out))
+    # NOTE: no print and no "pass" key here — the script's contract is
+    # ONE stdout JSON line with the combined verdict at the end
+    # (ADVICE r5: an early pass=true line misled single-line readers).
 
     # ---- phase 2: streaming KG construction (streaming/kg.py) ----
     # documents -> per-micro-batch extract+resolve -> dedup-merge;
@@ -144,7 +145,8 @@ def main():
     kg_elapsed = time.time() - t1
     if not finished2:
         q2.stop()
-        print(json.dumps({"pass": False, "error": "kg stream timed out"}))
+        out.update({"pass": False, "error": "kg stream timed out"})
+        print(json.dumps(out))
         sys.exit(1)
     from triplestore_spark.operators.graph import dedup_triples
     from triplestore_spark.pipeline.run import candidate_triples
@@ -169,7 +171,7 @@ def main():
     }
     out.update(out_kg)
     ok = ok and kg_ok
-    print(json.dumps(out_kg))
+    print(json.dumps(out))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(
         os.path.join(repo, "BENCH", f"STREAMING_r{args.round:02d}.txt"), "w"

@@ -102,8 +102,11 @@ def parse_node_key(c: Column | str):
     terminal '"^^<type>' / '"@lang' is always the real suffix even
     when the value itself contains quotes, '@', or '^^<'."""
     c = F.col(c) if isinstance(c, str) else c
-    typed = r'^"(.*)"\^\^<([^>]*)>$'
-    langd = r'^"(.*)"@([A-Za-z0-9-]+)$'
+    # (?s): literal values may contain raw newlines (multi-line
+    # document text); without DOTALL the anchored (.*) fails to span
+    # them and value/type silently extract as '' (ADVICE r5, medium).
+    typed = r'(?s)^"(.*)"\^\^<([^>]*)>$'
+    langd = r'(?s)^"(.*)"@([A-Za-z0-9-]+)$'
     is_res = c.startswith("<")
     is_bnode = c.startswith("_:")
     is_typed = c.rlike(typed)
@@ -432,6 +435,134 @@ def _path_step_alternatives(step) -> list[str]:
     return alts
 
 
+# Trailing quantifier on a string step: p*, p+, p{n}, p{m,}, p{m,n}.
+# It applies to the WHOLE step (SPARQL (p1|p2)* semantics for an
+# alternation step).
+_QUANT_RE = __import__("re").compile(r"^(.*?)(\*|\+|\{(\d+)(?:,(\d*))?\})$")
+
+
+def _parse_path_step(step) -> tuple[list[str], int, int | None]:
+    """-> (alternatives, min_hops, max_hops|None). A plain step is
+    (alts, 1, 1); 'p*' -> (['p'], 0, None); 'p+' -> (['p'], 1, None);
+    'p{2,4}' -> (['p'], 2, 4); 'p{3,}' -> (['p'], 3, None)."""
+    if isinstance(step, str):
+        m = _QUANT_RE.match(step.strip())
+        if m and m.group(1):
+            base, q = m.group(1), m.group(2)
+            if q == "*":
+                lo, hi = 0, None
+            elif q == "+":
+                lo, hi = 1, None
+            else:
+                lo = int(m.group(3))
+                hi = (
+                    (int(m.group(4)) if m.group(4) else None)
+                    if m.group(4) is not None
+                    else lo
+                )
+            if hi is not None and hi < lo:
+                raise ValueError(f"property_path: bad quantifier {q!r}")
+            return _path_step_alternatives(base), lo, hi
+    return _path_step_alternatives(step), 1, 1
+
+
+def _invert_alt(a: str) -> str:
+    return a[1:] if a.startswith("^") else "^" + a
+
+
+def _term_key(t: Term) -> str:
+    """Node key of a constant endpoint (IRI string or Obj)."""
+    return t.okey() if isinstance(t, Obj) else f"<{t}>"
+
+
+def _closure_edges(
+    graph, alts: Sequence[str]
+) -> DataFrame:
+    """One-hop edge set (_cs, _cd) for a quantified step: union of the
+    alternatives' single-pattern scans, every branch's predicate
+    filter pushed down before the union (same shape the fixed-length
+    alternation uses)."""
+    frames = []
+    for a in alts:
+        if a.startswith("^"):
+            pat: Pattern = ("?__cd", a[1:], "?__cs")
+        else:
+            pat = ("?__cs", a, "?__cd")
+        frames.append(bgp_match(graph, [pat], distinct=False))
+    edges = frames[0]
+    for f in frames[1:]:
+        edges = edges.unionByName(f)
+    return edges.select(F.col("__cs").alias("_cs"), F.col("__cd").alias("_cd"))
+
+
+def _closure_pairs(
+    seed: DataFrame,
+    edges: DataFrame,
+    lo: int,
+    hi: int | None,
+    max_depth: int,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Distinct (_a, _b) pairs with _b reachable from a seed node _a
+    in between `lo` and `hi` hops (hi=None -> unbounded closure).
+
+    Level-synchronous frontier expansion (the tree.py:53 shape, made
+    cycle-safe): `lo` mandatory exact hops, then 0..(hi-lo) closure
+    levels where each new frontier is anti-joined against everything
+    already reached — set semantics per SPARQL, so a cyclic graph
+    terminates in <= |reachable nodes| levels. Lineage is truncated
+    with a localCheckpoint every `checkpoint_every` levels (a deep
+    closure otherwise compounds the plan per level). The seed set is
+    the BOUND frontier (pinned endpoint or the chain's bindings so
+    far), never all nodes — an unrooted all-pairs closure is refused
+    upstream because it is quadratic in components at 100 TB."""
+    edges = edges.cache()
+    cur = seed.select(F.col("_n").alias("_a"), F.col("_n").alias("_b"))
+    for i in range(lo):
+        cur = (
+            cur.join(edges, cur["_b"] == edges["_cs"])
+            .select("_a", F.col("_cd").alias("_b"))
+            .distinct()
+        )
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    if hi is not None and hi == lo:
+        return cur.distinct()
+    # Each level's frontier is localCheckpoint'ed (eager): the
+    # anti-join against `reached` otherwise nests the ENTIRE previous
+    # lineage into every new level — exponential plan growth that OOMs
+    # the driver analyzing level ~10 regardless of data size. With the
+    # checkpoint the frontier plan is flat and `reached` is a linear
+    # union of checkpointed levels, collapsed every `checkpoint_every`
+    # levels. One tiny Spark job per LEVEL (graph diameter), never per
+    # node — the same cost model as tree.py's frontier walk.
+    reached = cur.distinct().localCheckpoint(eager=True)
+    frontier = reached
+    level = 0
+    while hi is None or level < hi - lo:
+        level += 1
+        nxt = (
+            frontier.join(edges, frontier["_b"] == edges["_cs"])
+            .select("_a", F.col("_cd").alias("_b"))
+            .distinct()
+            .join(reached, ["_a", "_b"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return reached
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+        if level % checkpoint_every == 0:
+            reached = reached.localCheckpoint(eager=True)
+        if hi is None and level >= max_depth:
+            raise ValueError(
+                f"property_path: closure still expanding after "
+                f"{max_depth} levels; raise closure_max_depth if the "
+                "graph really is that deep"
+            )
+    return reached
+
+
 def property_path(
     graph: RDFGraph | DataFrame,
     path: Sequence[str | Sequence[str]],
@@ -439,30 +570,63 @@ def property_path(
     start: Term | None = None,
     end: Term | None = None,
     distinct: bool = True,
+    closure_max_depth: int = 64,
 ) -> DataFrame:
-    """Fixed-length predicate chain p1/p2/.../pk -> (src, dst) node
-    keys. Each step is a predicate IRI, an INVERSE step '^p' (walked
-    object -> subject), or an ALTERNATION 'p1|p2' / ['p1', '^p2']
-    (SPARQL alt semantics: union of the alternatives' hops). Hop
-    variables stitch object-of-step-i to subject-of-step-i+1 — exact
-    because both positions bind the same node-key space. `start`/`end`
-    pin the endpoints (subject string / Obj or IRI string
-    respectively).
+    """Predicate chain p1/p2/.../pk -> (src, dst) node keys. Each step
+    is a predicate IRI, an INVERSE step '^p' (walked object ->
+    subject), an ALTERNATION 'p1|p2' / ['p1', '^p2'] (SPARQL alt
+    semantics: union of the alternatives' hops), or a QUANTIFIED step
+    'p*' / 'p+' / 'p{m,n}' / 'p{m,}' (Kleene closure — a trailing
+    quantifier on the string form applies to the whole step, so
+    '^p|q*' reads as SPARQL (^p|q)*). Hop variables stitch
+    object-of-step-i to subject-of-step-i+1 — exact because both
+    positions bind the same node-key space. `start`/`end` pin the
+    endpoints (subject string / Obj or IRI string respectively).
 
     A single-alternative step compiles to one BGP pattern (constants
     push down onto the best layout, see bgp_match); an alternation
     step compiles to the UNION of its alternatives' one-pattern scans
     before the chain join, so the union runs before the shuffle and
-    each branch still pushes its predicate filter down.
+    each branch still pushes its predicate filter down. A quantified
+    step compiles to level-synchronous frontier expansion over the
+    step's one-hop edge set (the reference's unbounded recursive walk,
+    tree.go:58-82, re-expressed as one join per LEVEL instead of one
+    query per node), seeded from the chain's bindings so far — never
+    from all nodes. Cycle-safe: each level anti-joins the reached set
+    (SPARQL path closure is existential / set-valued), so cyclic
+    graphs terminate; `closure_max_depth` bounds a runaway unbounded
+    walk with a clear error.
 
-    For the transitive p+ walk from a constant root, use
-    operators.tree.Tree(graph, p).descendants(root) — level-synchronous
-    frontier joins. An unrooted all-pairs closure is deliberately not
-    offered: it is quadratic in components at 100 TB.
+    An UNROOTED leading closure (no pinned start, nothing to its
+    left) is evaluated by reversing the chain when the other end is
+    pinned (p* walked as ^p* from `end`); with BOTH endpoints open it
+    is refused — an all-pairs closure is quadratic in components at
+    100 TB.
     """
     if not path:
         raise ValueError("property_path: empty path")
-    steps = [_path_step_alternatives(s) for s in path]
+    steps = [_parse_path_step(s) for s in path]
+    swapped = False
+    if start is None and steps[0][1:] != (1, 1):
+        # unrooted leading closure: walk from the other end if pinned
+        if end is not None or steps[-1][1:] == (1, 1):
+            steps = [
+                ([_invert_alt(a) for a in alts], lo, hi)
+                for alts, lo, hi in reversed(steps)
+            ]
+            start, end = end, None
+            swapped = True
+            if start is None and steps[0][1:] != (1, 1):
+                raise ValueError(
+                    "property_path: closure step with neither endpoint "
+                    "pinned nor a fixed-length step to seed from — an "
+                    "all-pairs closure is refused at scale"
+                )
+        else:
+            raise ValueError(
+                "property_path: leading closure step needs a pinned "
+                "start (or a pinned end to walk backward from)"
+            )
     terms: list[Term] = ["?src" if start is None else start]
     for i in range(len(steps) - 1):
         terms.append(f"?h{i}")
@@ -470,18 +634,64 @@ def property_path(
 
     cur: DataFrame | None = None
     bound: set[str] = set()
-    for i, alts in enumerate(steps):
+    for i, (alts, lo, hi) in enumerate(steps):
         src_t, dst_t = terms[i], terms[i + 1]
-        frames = []
-        for a in alts:
-            if a.startswith("^"):
-                pat: Pattern = (dst_t, a[1:], src_t)
+        if (lo, hi) != (1, 1):
+            edges = _closure_edges(graph, alts)
+            if cur is None:
+                # first step: seed from the pinned start constant
+                spark = edges.sparkSession
+                seed = spark.createDataFrame(
+                    [(_term_key(start),)], "_n string"
+                )
             else:
-                pat = (src_t, a, dst_t)
-            frames.append(bgp_match(graph, [pat], distinct=False))
-        step_df = frames[0]
-        for f in frames[1:]:
-            step_df = step_df.unionByName(f)
+                seed = cur.select(
+                    F.col(_var(src_t)).alias("_n")
+                ).distinct()
+            pairs = _closure_pairs(seed, edges, lo, hi, closure_max_depth)
+            cols = []
+            if _is_var(src_t):
+                cols.append(F.col("_a").alias(_var(src_t)))
+            if _is_var(dst_t):
+                cols.append(F.col("_b").alias(_var(dst_t)))
+            else:
+                pairs = pairs.where(F.col("_b") == _term_key(_as_obj(dst_t)))
+            if not cols:
+                # both endpoints pinned: witness rows only
+                cols = [F.lit(1).alias("_w")]
+            step_df = pairs.select(*cols)
+        else:
+            frames = []
+            for a in alts:
+                if a.startswith("^"):
+                    pat: Pattern = (dst_t, a[1:], src_t)
+                else:
+                    pat = (src_t, a, dst_t)
+                # A pinned endpoint that lands in the SUBJECT slot of
+                # its step must be subject-capable: literals (and
+                # bnode constants — subject bnodes are rows, not
+                # constants) can never occupy subject position. Refuse
+                # clearly instead of failing deep in _pattern_scan
+                # with a Py4J type error (ADVICE r5).
+                subj_term = pat[0]
+                if (
+                    isinstance(subj_term, Obj)
+                    and subj_term.kind != KIND_RESOURCE
+                ):
+                    which = "end" if subj_term is end else "start"
+                    if swapped:  # report the USER's parameter name
+                        which = "start" if which == "end" else "end"
+                    raise ValueError(
+                        f"property_path: {which}= pins a "
+                        f"{subj_term.kind} constant into the subject "
+                        f"position of step {i} "
+                        f"({'inverse ' if a.startswith('^') else ''}"
+                        f"'{a}') — only IRIs can occupy subject position"
+                    )
+                frames.append(bgp_match(graph, [pat], distinct=False))
+            step_df = frames[0]
+            for f in frames[1:]:
+                step_df = step_df.unionByName(f)
         if cur is None:
             cur, bound = step_df, set(step_df.columns)
         else:
@@ -499,6 +709,14 @@ def property_path(
     # with both endpoints pinned the hop bindings are the witness rows.
     keep = [c for c in ("src", "dst") if c in bound]
     out = cur.select(*keep) if keep else cur
+    if swapped:
+        ren = {"src": "dst", "dst": "src"}
+        out = out.select(
+            *[F.col(c).alias(ren.get(c, c)) for c in out.columns]
+        )
+        order = [c for c in ("src", "dst") if c in out.columns]
+        if order:
+            out = out.select(*order)
     return out.distinct() if distinct else out
 
 
@@ -774,4 +992,157 @@ def _bgp_composite_sql(
     sql = f"SELECT {kw}{cols} FROM ({req_sql}) req " + " ".join(joins)
     if not_exists:
         sql += " WHERE " + " AND ".join(not_exists)
+    return sql
+
+
+def property_path_sql(
+    path: Sequence[str | Sequence[str]],
+    table: str = "triples",
+    *,
+    start: Term | None = None,
+    end: Term | None = None,
+    closure_max_depth: int = 64,
+) -> str:
+    """ANSI-SQL twin of property_path (set semantics), quantified
+    steps included: each fixed-length step is a join against that
+    step's one-hop edge subquery, each quantified step a WITH
+    RECURSIVE closure over it — the structurally independent oracle
+    (DuckDB runs it verbatim) for the Kleene paths. Bounded
+    quantifiers carry a depth column capped in the recursive arm;
+    unbounded ones rely on UNION's (src, cur) dedup for cycle-safe
+    termination, exactly the anti-join the DataFrame closure uses.
+
+    Same endpoint rules as property_path, including walking a leading
+    unrooted closure backward from a pinned end (the result columns
+    are swapped back)."""
+    if not path:
+        raise ValueError("property_path_sql: empty path")
+    steps = [_parse_path_step(s) for s in path]
+    swapped = False
+    if start is None and steps[0][1:] != (1, 1):
+        if end is not None or steps[-1][1:] == (1, 1):
+            steps = [
+                ([_invert_alt(a) for a in alts], lo, hi)
+                for alts, lo, hi in reversed(steps)
+            ]
+            start, end = end, None
+            swapped = True
+            if start is None and steps[0][1:] != (1, 1):
+                raise ValueError(
+                    "property_path_sql: closure step with neither "
+                    "endpoint pinned nor a fixed-length step to seed "
+                    "from"
+                )
+        else:
+            raise ValueError(
+                "property_path_sql: leading closure step needs a "
+                "pinned start (or a pinned end to walk backward from)"
+            )
+
+    def edge_sql(alts: Sequence[str]) -> str:
+        parts = []
+        for a in alts:
+            skey = _SKEY_SQL.format(a="t")
+            okey = _OKEY_SQL.format(a="t")
+            if a.startswith("^"):
+                es, ed, pred = okey, skey, a[1:]
+            else:
+                es, ed, pred = skey, okey, a
+            parts.append(
+                f"SELECT {es} AS es, {ed} AS ed FROM {table} t "
+                f"WHERE t.predicate = {_sql_str(pred)}"
+            )
+        return " UNION ALL ".join(parts)
+
+    ctes: list[str] = []
+    prev: str | None = None  # CTE name of bindings so far
+    has_src = start is None
+    src_sel = "b.src, " if has_src else ""
+    for i, (alts, lo, hi) in enumerate(steps):
+        e = f"e{i}"
+        ctes.append(f"{e} AS ({edge_sql(alts)})")
+        if (lo, hi) == (1, 1):
+            if prev is None:
+                if start is None:
+                    sel = f"SELECT DISTINCT es AS src, ed AS cur FROM {e}"
+                else:
+                    sel = (
+                        f"SELECT DISTINCT ed AS cur FROM {e} "
+                        f"WHERE es = {_sql_str(_term_key(start))}"
+                    )
+            else:
+                sel = (
+                    f"SELECT DISTINCT {src_sel}e.ed AS cur "
+                    f"FROM {prev} b JOIN {e} e ON b.cur = e.es"
+                )
+            ctes.append(f"b{i} AS ({sel})")
+        else:
+            # seed: `lo` mandatory exact hops from the bindings so far
+            if prev is None:
+                base = (
+                    f"(SELECT {_sql_str(_term_key(start))} AS cur) b"
+                )
+            else:
+                base = f"{prev} b"
+            if lo == 0:
+                seed = f"SELECT DISTINCT {src_sel}b.cur AS cur FROM {base}"
+            else:
+                joins, last = [], "b.cur"
+                for k in range(lo):
+                    joins.append(f"JOIN {e} x{k} ON {last} = x{k}.es")
+                    last = f"x{k}.ed"
+                seed = (
+                    f"SELECT DISTINCT {src_sel}{last} AS cur "
+                    f"FROM {base} " + " ".join(joins)
+                )
+            ctes.append(f"s{i} AS ({seed})")
+            csrc = "src, " if has_src else ""
+            if hi is None:
+                rec = (
+                    f"c{i}( {csrc}cur) AS ("
+                    f"SELECT {csrc}cur FROM s{i} UNION "
+                    f"SELECT {'c.src, ' if has_src else ''}e.ed "
+                    f"FROM c{i} c JOIN {e} e ON c.cur = e.es)"
+                )
+                ctes.append(rec)
+                ctes.append(
+                    f"b{i} AS (SELECT DISTINCT {csrc}cur FROM c{i})"
+                )
+            else:
+                depth_cap = hi - lo
+                rec = (
+                    f"c{i}({csrc}cur, d) AS ("
+                    f"SELECT {csrc}cur, 0 AS d FROM s{i} UNION "
+                    f"SELECT {'c.src, ' if has_src else ''}e.ed, c.d + 1 "
+                    f"FROM c{i} c JOIN {e} e ON c.cur = e.es "
+                    f"WHERE c.d < {depth_cap})"
+                )
+                ctes.append(rec)
+                ctes.append(
+                    f"b{i} AS (SELECT DISTINCT {csrc}cur FROM c{i})"
+                )
+        prev = f"b{i}"
+
+    out_cols = []
+    where = ""
+    if swapped:
+        # the computed 'src' column holds the ORIGINAL dst bindings
+        # and 'cur' the original src; end is always None here
+        out_cols.append("cur AS src")
+        if has_src:
+            out_cols.append("src AS dst")
+    else:
+        if has_src:
+            out_cols.append("src")
+        if end is None:
+            out_cols.append("cur AS dst")
+        else:
+            where = f" WHERE cur = {_sql_str(_term_key(_as_obj(end)))}"
+            if not out_cols:
+                out_cols.append("1 AS _w")
+    sql = (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + f" SELECT DISTINCT {', '.join(out_cols)} FROM {prev}{where}"
+    )
     return sql

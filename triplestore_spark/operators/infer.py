@@ -42,6 +42,10 @@ RDF_TYPE = "rdf:type"
 RDFS_SUBCLASS = "rdfs:subClassOf"
 RDFS_SUBPROPERTY = "rdfs:subPropertyOf"
 
+# Hard cap on driver-built closure pairs (~2M pairs * ~100B ≈ 200 MB
+# broadcast ceiling); the edge guard alone admits quadratic blowup.
+_MAX_CLOSURE_PAIRS = 2_000_000
+
 
 def _schema_closure(
     edges: list[tuple[str, str]], max_edges: int
@@ -73,6 +77,17 @@ def _schema_closure(
         # self-pairs from cycles stay: (x type a) => (x type a) is a
         # no-op after dedup, and dropping them would lose nothing
         out.extend((a, b) for b in sorted(seen))
+        # Edge count alone doesn't bound the closure: a deep chain of
+        # max_edges edges closes to O(max_edges^2) pairs — OOM on the
+        # driver before the edge guard helps (ADVICE r5). Cap the
+        # PAIRS too; the broadcast side must stay small regardless of
+        # schema shape.
+        if len(out) > _MAX_CLOSURE_PAIRS:
+            raise ValueError(
+                f"schema closure exceeds {_MAX_CLOSURE_PAIRS} "
+                "(cls, supercls) pairs — too large to broadcast; "
+                "close it distributed (see module doc)"
+            )
     return out
 
 

@@ -1509,10 +1509,25 @@ _ANN_RECALL_THRESHOLDS = {
     # variance, so they sit well under every measured value including
     # the small-N one.
     "lsh": 0.8,
-    "ivf": 0.4,
-    "ivf_index": 0.4,
+    "ivf": 0.6,
+    "ivf_index": 0.6,
     "ivf_largek": 0.8,
 }
+
+# The 0.467 small-N ivf measurement is a tiny-table artifact (3-of-8
+# probes over ~60-vector clusters), not a candidate-generation bug.
+# Relax the ivf floors ONLY there instead of globally weakening the
+# sf0.01/0.1 regression gate (ADVICE r5: a real ~0.45 regression at
+# sf0.01+ must still fail).
+_ANN_SMALL_TABLE_ROWS = 1000
+_ANN_SMALL_TABLE_FLOORS = {"ivf": 0.4, "ivf_index": 0.4}
+
+
+def _ann_floors(n_vectors: int) -> dict[str, float]:
+    floors = dict(_ANN_RECALL_THRESHOLDS)
+    if n_vectors < _ANN_SMALL_TABLE_ROWS:
+        floors.update(_ANN_SMALL_TABLE_FLOORS)
+    return floors
 
 
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,6 +1551,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     total = truth.agg(F.count(F.lit(1)).alias("total"))
+    floors = _ann_floors(emb.count())
     out = None
     for name in sorted(_ANN_RECALL_THRESHOLDS):
         hits = (
@@ -1548,7 +1564,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("method"),
             (
                 F.col("hits") / F.col("total")
-                >= F.lit(_ANN_RECALL_THRESHOLDS[name])
+                >= F.lit(floors[name])
             ).alias("recall_ok"),
         )
         out = r if out is None else out.unionByName(r)
