@@ -145,3 +145,19 @@ def test_schema_guard_refuses_oversized(spark):
     g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
     with pytest.raises(ValueError, match="max_schema_edges"):
         rdfs_expand_types(g, max_schema_edges=10)
+
+
+def test_closure_pair_cap_refuses_quadratic_blowup(spark, monkeypatch):
+    """ADVICE r5: the edge-count guard alone admits a deep chain whose
+    closure is quadratic in edges — the PAIR cap must trip before the
+    driver builds it."""
+    from triplestore_spark.operators import infer as I
+
+    monkeypatch.setattr(I, "_MAX_CLOSURE_PAIRS", 50)
+    rows = [
+        (f"c:{i}", False, "rdfs:subClassOf", "res", f"c:{i+1}", "", "")
+        for i in range(20)  # chain of 20 edges -> 210 closure pairs
+    ]
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    with pytest.raises(ValueError, match="pairs"):
+        rdfs_expand_types(g)

