@@ -273,3 +273,17 @@ def test_rank_by_key_desc_is_distributed(spark):
         .count()
     )
     assert n_parts > 1
+
+
+def test_ts_pack_gate_window_is_sharded(spark, sf_dir):
+    """VERDICT r5 #2: the oracle-certified packing plan must be the
+    sharded one — every window spec in the gate's plan partitions by
+    shard; no unpartitioned WindowExec funnels the corpus through one
+    task."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["ts_pack"](spark, sf_dir)
+    plan = plan_str(df)
+    specs = plan.count("windowspecdefinition(")
+    assert specs >= 1
+    assert specs == plan.count("windowspecdefinition(shard")

@@ -771,14 +771,19 @@ def pack_documents(
     )
 
 
-def pack_documents_sql(window_tokens: int = 512) -> str:
+def pack_documents_sql(window_tokens: int = 512, shard: bool = False) -> str:
+    """DuckDB twin of pack_documents; shard=True mirrors the sharded
+    (100 TB) path — running sum PARTITION BY doc_id % 8."""
+    shard_sel = "shard, " if shard else ""
+    part = "PARTITION BY shard " if shard else ""
+    shard_sub = ", CAST(doc_id % 8 AS BIGINT) AS shard" if shard else ""
     return f"""
-    SELECT doc_id, n_tokens,
-           CAST(floor(coalesce(sum(n_tokens) OVER (
+    SELECT doc_id, {shard_sel}n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER ({part}
              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
              AND 1 PRECEDING), 0) / {window_tokens}) AS BIGINT) AS pack_id
     FROM (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens{shard_sub}
       FROM documents
     )
     """
