@@ -264,12 +264,59 @@ def _layout_for(graph, default_df: DataFrame, pat: Pattern) -> DataFrame:
     return graph.layout("spo")
 
 
+_FILTER_OPS = {
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    "=": lambda a, b: a == b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+def compile_binding_filter(
+    var_col: Column | str, op: str, value, typ: str | None = None
+) -> Column:
+    """SPARQL-FILTER analog over one bound variable: decode the node
+    key (parse_node_key), then compare TYPED — ('?n', '>', 100,
+    'xsd:integer') matches literals tagged xsd:integer (short or long
+    XMLSchema form, functions/typed.py) whose cast value exceeds 100.
+    Without a type, '='/'!=' compare the decoded value string and
+    'regex' is an rlike over it; ordered comparisons REQUIRE a type
+    (comparing lexical forms of unknown datatypes is a silent wrong
+    answer, not a default). Non-matching kinds/tags decode to NULL and
+    drop, per SPARQL filter-error semantics."""
+    from triplestore_spark.functions.typed import parse_typed_col
+    from triplestore_spark.schema import XSD_DATETIME
+
+    key = F.col(var_col) if isinstance(var_col, str) else var_col
+    _, _, val, vtyp, _ = parse_node_key(key)
+    if op == "regex":
+        if typ is not None:
+            return (vtyp == typ) & val.rlike(value)
+        return val.rlike(value)
+    if op not in _FILTER_OPS:
+        raise ValueError(f"bgp filter: unknown op {op!r}")
+    if typ is None:
+        if op in ("=", "==", "!="):
+            return _FILTER_OPS[op](val, F.lit(value))
+        raise ValueError(
+            f"bgp filter: ordered comparison {op!r} needs an explicit "
+            "xsd type (e.g. ('?n', '>', 100, 'xsd:integer'))"
+        )
+    typed_val = parse_typed_col(val, vtyp, typ)
+    rhs = F.to_timestamp(F.lit(value)) if typ == XSD_DATETIME else F.lit(value)
+    return _FILTER_OPS[op](typed_val, rhs)
+
+
 def bgp_match(
     graph: RDFGraph | DataFrame,
     patterns: Sequence[Pattern] | str,
     *,
     optional: Sequence[Sequence[Pattern] | str] | None = None,
     anti: Sequence[Sequence[Pattern] | str] | None = None,
+    filters: Sequence[tuple] | None = None,
     allow_product: bool = False,
     distinct: bool = True,
 ) -> DataFrame:
@@ -300,6 +347,14 @@ def bgp_match(
     order-dependent semantics and are refused rather than silently
     misevaluated. Each left join is a plain equi-join on already-bound
     keys, so AQE can still broadcast or skew-split it.
+
+    `filters` adds SPARQL-FILTER value constraints over bound
+    variables: each spec is ('?v', op, value[, xsd_type]) compiled by
+    compile_binding_filter (typed comparisons via parse_node_key +
+    cast; 'regex' over the decoded value). A filter on a variable
+    bound by exactly one pattern is PUSHED BELOW the joins onto that
+    pattern's scan; multi-pattern variables filter after the required
+    joins. Filters may reference required-BGP variables only.
 
     `anti` adds negation (SPARQL FILTER NOT EXISTS): each group is
     matched as a BGP and required-side rows with ANY match on the
@@ -335,6 +390,36 @@ def bgp_match(
         n_const = 3 - sum(_is_var(t) for t in pat)
         scans.append((scan, vars_, n_const))
 
+    # FILTER compilation + pushdown: a filter whose variable binds in
+    # exactly ONE pattern is applied to that pattern's scan BEFORE any
+    # join (the filtered scan is also counted more constant for join
+    # seeding); multi-pattern variables filter after the required
+    # joins. Filters see required-BGP variables only.
+    post_filters: list[Column] = []
+    for spec in filters or ():
+        if len(spec) == 3:
+            fvar, fop, fval, ftyp = *spec, None
+        elif len(spec) == 4:
+            fvar, fop, fval, ftyp = spec
+        else:
+            raise ValueError(f"bgp filter: bad spec {spec!r}")
+        if not _is_var(fvar):
+            raise ValueError(f"bgp filter: {fvar!r} is not a variable")
+        v = _var(fvar)
+        holders = [i for i, s in enumerate(scans) if v in s[1]]
+        if not holders:
+            raise ValueError(
+                f"bgp filter: variable {fvar!r} is not bound by the "
+                "required patterns"
+            )
+        cond = compile_binding_filter(v, fop, fval, ftyp)
+        if len(holders) == 1:
+            i = holders[0]
+            scan, vars_, n_const = scans[i]
+            scans[i] = (scan.where(cond), vars_, n_const + 1)
+        else:
+            post_filters.append(cond)
+
     var_order: list[str] = []
     for pat in patterns:
         for t in pat:
@@ -368,6 +453,9 @@ def bgp_match(
         shared = sorted(bound & set(vars_))
         cur = cur.join(scan, on=shared) if shared else cur.crossJoin(scan)
         bound |= set(vars_)
+
+    for cond in post_filters:
+        cur = cur.where(cond)
 
     for gate, _, _ in gates:
         cur = cur.join(
