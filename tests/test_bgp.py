@@ -1016,3 +1016,115 @@ def test_bgp_filter_pushed_below_join(spark, tmp_path):
     join_at = plan.index("Join")
     filt_at = plan.index("100")
     assert filt_at > join_at, plan
+
+
+# -- path expressions in pattern predicate position -------------------
+
+
+def test_path_pattern_in_bgp(hand_graph):
+    """'?d kg:mentions/rdf:type ?t' — a path expression in predicate
+    position compiles through property_path and joins like a pattern;
+    equal to the explicit two-pattern BGP projected to (d, t)."""
+    got = _spark_rows(bgp_match(hand_graph, "?d kg:mentions/rdf:type ?t"))
+    want = _spark_rows(
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?m"), ("?m", "rdf:type", "?t")],
+        ).select("d", "t").distinct()
+    )
+    assert got == want
+    assert ("_:b0", "<kg:Engine>") in got
+
+
+def test_path_pattern_closure_and_gate(cycle_graph):
+    from triplestore_spark.operators.bgp import PathExpr
+
+    # rooted closure in a pattern
+    got = _spark_rows(bgp_match(cycle_graph, [("a", PathExpr("p+"), "?y")]))
+    assert got == [("<a>",), ("<b>",), ("<c>",), ("<d>",)]
+    # mixed chain with closure + fixed step joined to another pattern
+    got = _spark_rows(
+        bgp_match(cycle_graph, [("a", "p*/q", "?t"), ("?t", "?pp", "?o")])
+    )  # ?t binds <t>, which has no outgoing edges -> join empty
+    assert got == []
+    got = _spark_rows(bgp_match(cycle_graph, [("?s", "q", "?m"),
+                                              ("?s", "^p/p", "?s2")]))
+    # d's co-children under p: siblings of d through a shared parent
+    assert ("<d>", "<t>", "<a>") in got or ("<d>", "<t>", "<d>") in got
+    # both endpoints pinned: existence gate (reachable vs not)
+    present = _spark_rows(
+        bgp_match(cycle_graph, [("a", "p{2}", "c"), ("?x", "q", "?y")])
+    )
+    assert present == [("<d>", "<t>")]
+    absent = _spark_rows(
+        bgp_match(cycle_graph, [("a", "p{2}", "b"), ("?x", "q", "?y")])
+    )
+    assert absent == []
+
+
+def test_path_pattern_detection_and_sql_refusal(hand_graph):
+    from triplestore_spark.operators.bgp import _is_path_pred
+
+    # a full URI predicate is NOT a path ('://' guard)
+    assert not _is_path_pred("http://x/y")
+    assert _is_path_pred("kg:a/kg:b")
+    assert _is_path_pred("kg:a*")
+    assert not _is_path_pred("?p")
+    with pytest.raises(ValueError, match="property_path_sql"):
+        bgp_match_sql([("?d", "kg:mentions/rdf:type", "?t")])
+
+
+def test_path_pattern_unrooted_closure_refused(cycle_graph):
+    """A pure-closure path pattern with both endpoints open refuses
+    (all-pairs); seed it by pinning an endpoint or adding a fixed
+    step to the path."""
+    with pytest.raises(ValueError, match="closure"):
+        bgp_match(cycle_graph, [("?x", "p+", "?y")])
+
+
+# -- negated property sets (!p1|p2) -----------------------------------
+
+
+def test_negated_property_set(cycle_graph, hand_graph):
+    # complement of q == all p hops
+    got = _spark_rows(property_path(cycle_graph, ["!q"], start="a"))
+    assert got == [("<b>",)]
+    # from doc:2: everything except mentions -> the source hop only
+    got = _spark_rows(
+        property_path(hand_graph, ["!kg:mentions"], start="doc:2")
+    )
+    assert got == [("<src:book>",)]
+    # multi-exclusion and closure over the complement
+    got = _spark_rows(property_path(cycle_graph, ["!q|zzz*"], start="a"))
+    assert got == [("<a>",), ("<b>",), ("<c>",), ("<d>",)]
+
+
+def test_negated_property_set_differential(spark):
+    from triplestore_spark.operators.bgp import property_path_sql
+
+    rows = _random_rows(41)
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    con = _duck(rows)
+    for path, kw in [
+        (["!p0"], {}),
+        (["!p0|p1"], {}),
+        (["p1", "!p0*"], {"start": "e2"}),
+        (["!p3{1,2}"], {"start": "e1"}),
+    ]:
+        got = _spark_rows(property_path(g, path, **kw))
+        want = _duck_rows(con, property_path_sql(path, **kw))
+        assert got == want, (path, kw)
+    assert len(got) >= 0
+
+
+def test_negated_property_set_in_pattern(hand_graph):
+    got = _spark_rows(bgp_match(hand_graph, [("doc:2", "!kg:mentions", "?o")]))
+    assert got == [("<src:book>",)]
+
+
+def test_negated_property_set_refusals(cycle_graph):
+    with pytest.raises(ValueError, match="negated"):
+        property_path(cycle_graph, ["!^p"], start="a")
+    with pytest.raises(ValueError, match="backward|pin the start"):
+        # unrooted leading closure would need to invert the negated set
+        property_path(cycle_graph, ["!q*", "p"], end="c")

@@ -1284,3 +1284,77 @@ def test_dedup_keep_list_star_algorithm_identical(spark):
     assert a == b == [1, 10, 20, 99]
     with pytest.raises(ValueError, match="algorithm"):
         dedup_keep_list(docs, pairs, algorithm="nope")
+
+
+# -- best-fit (FFD) sequence packing ----------------------------------
+
+
+def test_pack_bestfit_matches_python_ffd(spark):
+    """pack_documents_bestfit == a pure-Python FFD oracle per shard:
+    same doc->pack assignment, deterministic under repartitioning."""
+    import random
+
+    from triplestore_spark.operators.textstats import (
+        pack_documents_bestfit,
+        packing_waste,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 3, " ".join("w" for _ in range(rng.randrange(1, 700))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, shard bigint, text string"
+    )
+    W = 512
+    got = {
+        (r["doc_id"], r["shard"]): r["pack_id"]
+        for r in pack_documents_bestfit(docs, W).collect()
+    }
+    n_tok = {i: len(t.split(" ")) for i, _, t in rows}
+
+    def ffd_oracle(items):  # [(doc_id, n)] -> {doc_id: pack}
+        items = sorted(items, key=lambda x: (-x[1], x[0]))
+        space, out = [], {}
+        for d, t in items:
+            for i, rem in enumerate(space):
+                if rem >= t:
+                    space[i] -= t
+                    out[d] = i
+                    break
+            else:
+                space.append(max(0, W - t))
+                out[d] = len(space) - 1
+        return out
+
+    for shard in (0, 1, 2):
+        want = ffd_oracle(
+            [(i, n_tok[i]) for i, s, _ in rows if s == shard]
+        )
+        for d, p in want.items():
+            assert got[(d, shard)] == p, (shard, d)
+    # feasibility: no pack over the window unless it is one long doc
+    from pyspark.sql import functions as F
+
+    per_pack = (
+        pack_documents_bestfit(docs, W)
+        .groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    for r in per_pack:
+        assert r["s"] <= W or r["c"] == 1, dict(r.asDict())
+    # invariant under partitioning
+    got2 = {
+        (r["doc_id"], r["shard"]): r["pack_id"]
+        for r in pack_documents_bestfit(
+            docs.repartition(13), W
+        ).collect()
+    }
+    assert got2 == got
+    # waste audit runs and is sane
+    w = {r["shard"]: r for r in packing_waste(
+        pack_documents_bestfit(docs, W), W).collect()}
+    for shard in (0, 1, 2):
+        assert 0.0 <= w[shard]["waste_frac"] < 0.5

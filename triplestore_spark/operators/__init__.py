@@ -1,18 +1,24 @@
 from triplestore_spark.operators.bgp import (
+    PathExpr,
     bgp_construct,
     bgp_match,
     bgp_match_sql,
+    compile_binding_filter,
     parse_bgp,
     parse_node_key,
     property_path,
+    property_path_sql,
     strip_node_key,
 )
 from triplestore_spark.operators.graph import RDFGraph, TripleSource
 
 __all__ = [
+    "PathExpr",
     "RDFGraph",
     "TripleSource",
     "bgp_construct",
+    "compile_binding_filter",
+    "property_path_sql",
     "bgp_match",
     "bgp_match_sql",
     "parse_bgp",

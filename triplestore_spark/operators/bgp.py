@@ -52,6 +52,43 @@ Term = Union[str, Obj]
 Pattern = tuple[Term, Term, Term]
 
 
+class PathExpr:
+    """Explicit path expression for a pattern's predicate position:
+    PathExpr('kg:a/kg:b*') or PathExpr(['kg:a', 'kg:b*']). The string
+    form splits steps on '/'; each step takes the full property_path
+    step syntax (inverse '^p', alternation 'p1|p2', quantifiers
+    'p*'/'p+'/'p{m,n}'). Plain string predicates containing path
+    metacharacters ('|', '^', '*', '+', '{', or '/' outside '://')
+    are auto-detected — PathExpr exists for explicit control and for
+    the rare IRI that would misdetect."""
+
+    __slots__ = ("steps",)
+
+    def __init__(self, expr):
+        if isinstance(expr, str):
+            self.steps = [s for s in expr.split("/") if s]
+        else:
+            self.steps = list(expr)
+        if not self.steps:
+            raise ValueError(f"PathExpr: empty path {expr!r}")
+
+
+def _is_path_pred(p) -> bool:
+    if isinstance(p, PathExpr):
+        return True
+    if not isinstance(p, str) or p.startswith("?"):
+        return False
+    if any(c in p for c in "|^*+{!"):
+        return True
+    return "/" in p and "://" not in p
+
+
+def _path_steps(p) -> list[str]:
+    return p.steps if isinstance(p, PathExpr) else [
+        s for s in p.split("/") if s
+    ]
+
+
 def _is_var(t: Term) -> bool:
     return isinstance(t, str) and t.startswith("?")
 
@@ -348,6 +385,13 @@ def bgp_match(
     misevaluated. Each left join is a plain equi-join on already-bound
     keys, so AQE can still broadcast or skew-split it.
 
+    A pattern's PREDICATE may be a property-path expression
+    (PathExpr('kg:a/kg:b*'), or a plain string containing path
+    metacharacters): the path compiles through property_path into a
+    distinct (src, dst) relation joined in like any other pattern —
+    '?d kg:mentions/rdf:type ?t' works directly, closure steps
+    included. Both-endpoint-pinned paths become existence gates.
+
     `filters` adds SPARQL-FILTER value constraints over bound
     variables: each spec is ('?v', op, value[, xsd_type]) compiled by
     compile_binding_filter (typed comparisons via parse_node_key +
@@ -386,6 +430,41 @@ def bgp_match(
     for pat in patterns:
         if len(pat) != 3:
             raise ValueError(f"pattern must be (s, p, o): {pat!r}")
+        s, p, o = pat
+        if _is_path_pred(p):
+            # PATH PATTERN: the predicate is a property-path
+            # expression — compile it to a (src, dst) relation
+            # (property_path handles pushdown, alternation unions,
+            # and cycle-safe closure) and join it in like any scan.
+            # Path relations are SET-valued (distinct pairs), per
+            # SPARQL's */+ semantics.
+            rel = property_path(
+                graph,
+                _path_steps(p),
+                start=None if _is_var(s) else s,
+                end=None if _is_var(o) else o,
+                distinct=True,
+            )
+            if _is_var(s) and _is_var(o) and _var(s) == _var(o):
+                rel = rel.where(F.col("src") == F.col("dst")).select(
+                    F.col("src").alias(_var(s))
+                )
+                vars_ = [_var(s)]
+            else:
+                cols = []
+                vars_ = []
+                if _is_var(s):
+                    cols.append(F.col("src").alias(_var(s)))
+                    vars_.append(_var(s))
+                if _is_var(o):
+                    cols.append(F.col("dst").alias(_var(o)))
+                    vars_.append(_var(o))
+                if cols:
+                    rel = rel.select(*cols)
+                else:  # both endpoints pinned: existence gate
+                    rel = rel.select(F.lit(1).alias("_w"))
+            scans.append((rel, vars_, 3 - len(vars_)))
+            continue
         scan, vars_ = _pattern_scan(_layout_for(graph, df, pat), pat)
         n_const = 3 - sum(_is_var(t) for t in pat)
         scans.append((scan, vars_, n_const))
@@ -532,9 +611,17 @@ _QUANT_RE = __import__("re").compile(r"^(.*?)(\*|\+|\{(\d+)(?:,(\d*))?\})$")
 def _parse_path_step(step) -> tuple[list[str], int, int | None]:
     """-> (alternatives, min_hops, max_hops|None). A plain step is
     (alts, 1, 1); 'p*' -> (['p'], 0, None); 'p+' -> (['p'], 1, None);
-    'p{2,4}' -> (['p'], 2, 4); 'p{3,}' -> (['p'], 3, None)."""
+    'p{2,4}' -> (['p'], 2, 4); 'p{3,}' -> (['p'], 3, None).
+
+    A step starting with '!' is a NEGATED PROPERTY SET (SPARQL
+    !(p1|p2)): one forward hop whose predicate is NOT in the listed
+    set; its alternatives come back each prefixed '!' (all-or-none by
+    construction). Forward-only ('^' inside a negated set is refused),
+    quantifiers compose ('!p*' = closure over the complement)."""
     if isinstance(step, str):
-        m = _QUANT_RE.match(step.strip())
+        base = step.strip()
+        lo, hi = 1, 1
+        m = _QUANT_RE.match(base)
         if m and m.group(1):
             base, q = m.group(1), m.group(2)
             if q == "*":
@@ -550,12 +637,36 @@ def _parse_path_step(step) -> tuple[list[str], int, int | None]:
                 )
             if hi is not None and hi < lo:
                 raise ValueError(f"property_path: bad quantifier {q!r}")
-            return _path_step_alternatives(base), lo, hi
+        if base.startswith("!"):
+            preds = [a.strip() for a in base[1:].split("|")]
+            if not preds or any(
+                (not a) or a.startswith("^") or _is_var(a) for a in preds
+            ):
+                raise ValueError(
+                    f"property_path: bad negated property set {step!r} "
+                    "(forward constant predicates only)"
+                )
+            return ["!" + a for a in preds], lo, hi
+        return _path_step_alternatives(base), lo, hi
     return _path_step_alternatives(step), 1, 1
 
 
 def _invert_alt(a: str) -> str:
+    if a.startswith("!"):
+        raise ValueError(
+            "property_path: a negated property set cannot be walked "
+            "backward — pin the start of the chain instead"
+        )
     return a[1:] if a.startswith("^") else "^" + a
+
+
+def _negated_hop_frame(graph, excluded: Sequence[str], src_t, dst_t):
+    """One forward hop over the COMPLEMENT of a predicate set: a
+    predicate-variable scan minus the excluded keys (isin is a single
+    codegen'd filter; at scale the exclusion list is config-sized)."""
+    scan = bgp_match(graph, [(src_t, "?__np", dst_t)], distinct=False)
+    keys = [f"<{p}>" for p in excluded]
+    return scan.where(~F.col("__np").isin(keys)).drop("__np")
 
 
 def _term_key(t: Term) -> str:
@@ -569,7 +680,15 @@ def _closure_edges(
     """One-hop edge set (_cs, _cd) for a quantified step: union of the
     alternatives' single-pattern scans, every branch's predicate
     filter pushed down before the union (same shape the fixed-length
-    alternation uses)."""
+    alternation uses). A negated set ('!'-prefixed alts) is one
+    complement scan."""
+    if alts and alts[0].startswith("!"):
+        edges = _negated_hop_frame(
+            graph, [a[1:] for a in alts], "?__cs", "?__cd"
+        )
+        return edges.select(
+            F.col("__cs").alias("_cs"), F.col("__cd").alias("_cd")
+        )
     frames = []
     for a in alts:
         if a.startswith("^"):
@@ -748,6 +867,16 @@ def property_path(
                 # both endpoints pinned: witness rows only
                 cols = [F.lit(1).alias("_w")]
             step_df = pairs.select(*cols)
+        elif alts[0].startswith("!"):
+            # negated property set: one complement hop (forward)
+            if isinstance(src_t, Obj) and src_t.kind != KIND_RESOURCE:
+                raise ValueError(
+                    "property_path: a literal cannot occupy the "
+                    f"subject position of negated step {i}"
+                )
+            step_df = _negated_hop_frame(
+                graph, [a[1:] for a in alts], src_t, dst_t
+            )
         else:
             frames = []
             for a in alts:
@@ -927,6 +1056,13 @@ def bgp_match_sql(
         ]
     if anti is not None:
         anti = [parse_bgp(g) if isinstance(g, str) else g for g in anti]
+    for pat in patterns:
+        if len(pat) == 3 and _is_path_pred(pat[1]):
+            raise ValueError(
+                "bgp_match_sql: path-expression predicates have no "
+                "self-join SQL form — use property_path_sql for the "
+                "path and join it in"
+            )
     if optional or anti:
         return _bgp_composite_sql(
             patterns, optional or [], anti or [],
@@ -1128,10 +1264,17 @@ def property_path_sql(
             )
 
     def edge_sql(alts: Sequence[str]) -> str:
+        skey = _SKEY_SQL.format(a="t")
+        okey = _OKEY_SQL.format(a="t")
+        if alts and alts[0].startswith("!"):
+            # negated property set: one complement scan
+            excl = ", ".join(_sql_str(a[1:]) for a in alts)
+            return (
+                f"SELECT {skey} AS es, {okey} AS ed FROM {table} t "
+                f"WHERE t.predicate NOT IN ({excl})"
+            )
         parts = []
         for a in alts:
-            skey = _SKEY_SQL.format(a="t")
-            okey = _OKEY_SQL.format(a="t")
             if a.startswith("^"):
                 es, ed, pred = okey, skey, a[1:]
             else:

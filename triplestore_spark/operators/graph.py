@@ -109,10 +109,14 @@ class RDFGraph:
         everything beyond point lookups:
 
             g.query('?d kg:mentions ?e . ?d kg:source src:web')
-            g.query(pats, optional=[...], anti=[...])
+            g.query('?d kg:mentions/rdf:type ?t')       # path pattern
+            g.query(pats, optional=[...], anti=[...],
+                    filters=[('?n', '>', 100, 'xsd:integer')])
 
         See operators.bgp.bgp_match for the full surface (pattern
-        lists, OPTIONAL groups, NOT-EXISTS negation, distinct)."""
+        lists, path-expression predicates incl. Kleene closure,
+        OPTIONAL groups, NOT-EXISTS negation, typed FILTER value
+        constraints, distinct)."""
         from triplestore_spark.operators.bgp import bgp_match
 
         return bgp_match(self, patterns, **kwargs)

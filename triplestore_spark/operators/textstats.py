@@ -892,3 +892,82 @@ def boilerplate_ngrams_sql(n: int = 3, min_docs: int = 2) -> str:
     FROM g LEFT JOIN b ON g.gram = b.gram
     GROUP BY g.doc_id
     """
+
+
+def pack_documents_bestfit(
+    docs: DataFrame,
+    window_tokens: int = 512,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Waste-minimizing sequence packing: FIRST-FIT-DECREASING bin
+    packing of documents into `window_tokens` context windows, per
+    shard — (doc_id, shard, n_tokens, pack_id). Compare
+    pack_documents (concat-then-cut): that preserves corpus order and
+    splits nothing, but a 400-token doc after a 200-token doc wastes
+    nothing only by luck; FFD sorts descending and places each doc in
+    the first pack with room, the classic 11/9·OPT+1 bound.
+
+    Distribution model: FFD is inherently sequential WITHIN a bin set,
+    so the corpus is packed per `shard_col` group with applyInPandas —
+    shards are the unit a loader consumes (file/worker sized,
+    bounded), so each group fits one task comfortably and the
+    shuffle is one hash exchange on the shard key. Pack ids are local
+    to a shard. Documents longer than the window get a pack of their
+    own (never split), matching pack_documents' doc-integrity rule.
+
+    Determinism: groups sort by (n_tokens desc, doc_id) — ties broken
+    by doc_id — so output is invariant to input partitioning.
+    """
+    import pandas as pd
+
+    n = F.size(tokens_col())
+    prepped = docs.select(
+        "doc_id", F.col(shard_col).alias("shard"), n.alias("n_tokens")
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        space: list[int] = []  # remaining tokens per open pack
+        out = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            placed = None
+            for i, rem in enumerate(space):
+                if rem >= t:
+                    placed = i
+                    break
+            if placed is None:
+                space.append(max(0, window_tokens - t))
+                placed = len(space) - 1
+            else:
+                space[placed] -= t
+            out.append(placed)
+        pdf["pack_id"] = pd.Series(out, dtype="int64")
+        return pdf
+
+    return prepped.groupBy("shard").applyInPandas(
+        ffd, "doc_id bigint, shard bigint, n_tokens int, pack_id bigint"
+    )
+
+
+def packing_waste(
+    packed: DataFrame, window_tokens: int = 512
+) -> DataFrame:
+    """Padding-waste audit per shard: packs used, token sum, and the
+    fraction of window slots left empty (docs longer than the window
+    count a full window — the loader truncates or streams them)."""
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens")
+    )
+    return per_pack.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("tokens"),
+        F.round(
+            1
+            - F.sum(F.least(F.col("pack_tokens"), F.lit(window_tokens)))
+            / (F.count(F.lit(1)) * window_tokens),
+            6,
+        ).alias("waste_frac"),
+    )
