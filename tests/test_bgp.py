@@ -1128,3 +1128,20 @@ def test_negated_property_set_refusals(cycle_graph):
     with pytest.raises(ValueError, match="backward|pin the start"):
         # unrooted leading closure would need to invert the negated set
         property_path(cycle_graph, ["!q*", "p"], end="c")
+
+
+def test_rdfgraph_construct_front_door(hand_graph):
+    """g.construct == bgp_construct through the method, filters pass."""
+    from triplestore_spark.operators.bgp import bgp_construct
+
+    pats = [("?a", "kg:mentions", "?m")]
+    tmpl = [("?a", "kg:touches", "?m")]
+    got = _spark_rows(
+        hand_graph.construct(pats, tmpl).select("subject", "object_value")
+    )
+    want = _spark_rows(
+        bgp_construct(hand_graph, pats, tmpl).select(
+            "subject", "object_value"
+        )
+    )
+    assert got == want and len(got) > 0

@@ -136,6 +136,35 @@ def main():
         )
     )
 
+    # round-6: filter pushdown below the BGP join + the two-pass rank
+    sections.append(
+        (
+            "BGP with a typed FILTER (single-pattern variable: the "
+            "comparison sits in the join subtree, below the shuffle)",
+            fmt(
+                bgp_match(
+                    g,
+                    [("?d", "kg:mentions", "?e"), ("?d", "kg:nchars", "?n")],
+                    filters=[("?n", ">", 100, "xsd:integer")],
+                )
+            ),
+        )
+    )
+    from triplestore_spark.operators.graph import rank_by_key_desc
+
+    sections.append(
+        (
+            "Two-pass global rank (range partition + per-partition "
+            "row_number + broadcast offsets; no single-partition "
+            "WindowExec over the data)",
+            fmt(
+                rank_by_key_desc(
+                    g.layout("spo").select("tkey"), num_partitions=8
+                )
+            ),
+        )
+    )
+
     out = ["# PLANS.md — physical plans of the headline operators\n"]
     out.append(
         "Generated by tools/plan_report.py; regenerate after plan-"

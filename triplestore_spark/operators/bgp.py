@@ -666,7 +666,10 @@ def _negated_hop_frame(graph, excluded: Sequence[str], src_t, dst_t):
     codegen'd filter; at scale the exclusion list is config-sized)."""
     scan = bgp_match(graph, [(src_t, "?__np", dst_t)], distinct=False)
     keys = [f"<{p}>" for p in excluded]
-    return scan.where(~F.col("__np").isin(keys)).drop("__np")
+    out = scan.where(~F.col("__np").isin(keys))
+    if len(out.columns) == 1:  # both endpoints pinned: witness rows
+        return out.select(F.lit(1).alias("_w"))
+    return out.drop("__np")
 
 
 def _term_key(t: Term) -> str:

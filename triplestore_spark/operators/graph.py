@@ -121,6 +121,15 @@ class RDFGraph:
 
         return bgp_match(self, patterns, **kwargs)
 
+    def construct(self, patterns, template, **kwargs) -> DataFrame:
+        """SPARQL-CONSTRUCT front door: match `patterns` (full query()
+        surface — paths, OPTIONAL, anti, filters) and instantiate one
+        `template` triple per binding row; returns deduped canonical
+        keyed triples, union-ready for add()."""
+        from triplestore_spark.operators.bgp import bgp_construct
+
+        return bgp_construct(self, patterns, template, **kwargs)
+
     def describe(self, node: str) -> DataFrame:
         """Every triple touching `node` (as subject, or as resource /
         bnode object) — the exploration helper SPARQL calls DESCRIBE.
