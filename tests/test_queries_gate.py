@@ -207,3 +207,70 @@ def test_closure_gate_subsumes_tree_ancestors(spark, sf_dir):
     assert got == want == ["<region:0>"] or (
         got and all(n.startswith("<region:") for n in got)
     )
+
+
+def test_two_bound_gate_subsumes_three_lookups(spark, sf_dir):
+    """Round-6 fold: each discriminator branch of graph_with_two_bound
+    must equal the former standalone gate's filter+projection (Q4/Q5/
+    Q6 two-bound lookups, VERDICT r5 registry-cap protocol)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from triplestore_spark.queries import dedup_triples, tpch_graph_triples
+
+    merged = entry.queries()["graph_with_two_bound"](spark, sf_dir).cache()
+    g = dedup_triples(tpch_graph_triples(spark, sf_dir)).cache()
+    originals = {
+        "subj_pred": g.where(
+            (F.col("subject") == "nation:7")
+            & (F.col("predicate") == "kg:name")
+        ).select("object_value"),
+        "pred_obj": g.where(
+            (F.col("predicate") == "rdf:type")
+            & (F.col("okey") == "<kg:Nation>")
+        ).select("subject"),
+        "subj_obj": g.where(
+            (F.col("subject") == "nation:7")
+            & (F.col("okey") == "<region:2>")
+        ).select("predicate"),
+    }
+    for which, orig in originals.items():
+        got = sorted(
+            r["v"] for r in merged.where(F.col("which") == which).collect()
+        )
+        want = sorted(r[0] for r in orig.collect())
+        assert got == want and len(got) > 0, which
+    merged.unpersist()
+    g.unpersist()
+
+
+def test_point_lookups_gate_subsumes_three_lookups(spark, sf_dir):
+    """Round-6 fold: each discriminator branch of graph_point_lookups
+    must equal the former standalone gate's filter+projection (Q1/Q2/
+    Q3 single-bound lookups)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from triplestore_spark.queries import dedup_triples, tpch_graph_triples
+
+    merged = entry.queries()["graph_point_lookups"](spark, sf_dir).cache()
+    g = dedup_triples(tpch_graph_triples(spark, sf_dir)).cache()
+    originals = {
+        "subject": g.where(F.col("subject") == "nation:7").select(
+            "predicate", "object_kind", "object_value"
+        ),
+        "predicate": g.where(F.col("predicate") == "kg:inRegion").select(
+            "subject", "object_value"
+        ),
+        "object": g.where(F.col("okey") == "<region:2>").select(
+            "subject", "predicate"
+        ),
+    }
+    for which, orig in originals.items():
+        width = len(orig.columns)
+        got = sorted(
+            tuple(r)[1 : 1 + width]
+            for r in merged.where(F.col("which") == which).collect()
+        )
+        want = sorted(tuple(r) for r in orig.collect())
+        assert got == want and len(got) > 0, which
+    merged.unpersist()
+    g.unpersist()

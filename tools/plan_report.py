@@ -136,6 +136,71 @@ def main():
         )
     )
 
+    # round-6: SPARQL aggregation — the shuffle carries grouping keys
+    # + partial aggregation states only (HashAggregate partial/final)
+    from triplestore_spark.operators.bgp_agg import bgp_select
+
+    sections.append(
+        (
+            "SPARQL aggregation over BGP bindings (partial+final "
+            "HashAggregate; only grouping keys and partial states "
+            "cross the exchange, never binding rows)",
+            fmt(
+                bgp_select(
+                    g,
+                    [("?d", "kg:mentions", "?e")],
+                    group_by=["?e"],
+                    aggregates={
+                        "n": ("count", "*"),
+                        "docs": ("count_distinct", "?d"),
+                    },
+                )
+            ),
+        )
+    )
+
+    # round-6: SHACL validation — constraints are filtered scans /
+    # one focus aggregation / one anti-join; predicate constants reach
+    # the layout scans as pushed filters
+    from triplestore_spark.operators.shacl import validate
+
+    sections.append(
+        (
+            "SHACL-lite validation report (per-constraint filtered "
+            "scans + one count aggregation + one class anti-join; "
+            "report bounded by violations)",
+            fmt(
+                validate(
+                    g,
+                    [{
+                        "name": "DocShape",
+                        "target_class": "kg:Document",
+                        "properties": [
+                            {"path": "kg:source", "min_count": 1},
+                            {"path": "kg:mentions", "class": "kg:Entity"},
+                        ],
+                    }],
+                )
+            ),
+        )
+    )
+
+    # round-6: triangle counting — degree-ordered orientation bounds
+    # the 2-path join fan-out by oriented out-degree
+    from triplestore_spark.operators.graph_algos import (
+        edge_view,
+        triangle_count,
+    )
+
+    sections.append(
+        (
+            "Triangle counting (degree-ordered orientation: 2-path "
+            "join fan-out bounded by oriented out-degree, closing "
+            "edge a semi-join)",
+            fmt(triangle_count(edge_view(g, "kg:mentions"))),
+        )
+    )
+
     # round-6: filter pushdown below the BGP join + the two-pass rank
     sections.append(
         (

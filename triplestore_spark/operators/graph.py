@@ -112,14 +112,35 @@ class RDFGraph:
             g.query('?d kg:mentions/rdf:type ?t')       # path pattern
             g.query(pats, optional=[...], anti=[...],
                     filters=[('?n', '>', 100, 'xsd:integer')])
+            g.query(pats, group_by=['?d'],
+                    aggregates={'n': ('count', '*')},
+                    having=[('n', '>=', 2)], order_by=[('n', 'desc')])
 
         See operators.bgp.bgp_match for the full surface (pattern
         lists, path-expression predicates incl. Kleene closure,
         OPTIONAL groups, NOT-EXISTS negation, typed FILTER value
-        constraints, distinct)."""
+        constraints, distinct). SELECT-level kwargs (group_by,
+        aggregates, having, order_by, limit) route through
+        operators.bgp_agg.bgp_select — SPARQL 1.1 aggregation and
+        solution modifiers."""
         from triplestore_spark.operators.bgp import bgp_match
 
+        if any(
+            k in kwargs
+            for k in ("group_by", "aggregates", "having", "order_by", "limit")
+        ):
+            from triplestore_spark.operators.bgp_agg import bgp_select
+
+            return bgp_select(self, patterns, **kwargs)
         return bgp_match(self, patterns, **kwargs)
+
+    def union(self, groups, *, distinct: bool = True) -> DataFrame:
+        """SPARQL UNION front door: match each arm independently and
+        stack the solutions, NULL-padding variables an arm doesn't
+        bind (operators.bgp_agg.bgp_union)."""
+        from triplestore_spark.operators.bgp_agg import bgp_union
+
+        return bgp_union(self, groups, distinct=distinct)
 
     def construct(self, patterns, template, **kwargs) -> DataFrame:
         """SPARQL-CONSTRUCT front door: match `patterns` (full query()

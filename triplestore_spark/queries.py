@@ -441,69 +441,96 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     # component column, so it checks the full triple table AND the
     # total order in one row — freeing a slot for path_supply_closure.
 
-    q["graph_with_subject"] = (
-        lambda spark, sf: graph(spark, sf)
-        .where(F.col("subject") == "nation:7")
-        .select("predicate", "object_kind", "object_value"),
+    # graph_with_subject / graph_with_predicate / graph_with_object
+    # folded into ONE single-bound-lookup gate (round-6 registry swap,
+    # freeing slots for shacl_report / graph_triangles): each branch
+    # keeps its original filter and projection EXACTLY, discriminator-
+    # tagged, NULL-padding the narrower projections.
+    def _point_lookups(spark, sf):
+        g = graph(spark, sf)
+        null = F.lit(None).cast("string")
+        by_s = g.where(F.col("subject") == "nation:7").select(
+            F.lit("subject").alias("which"),
+            F.col("predicate").alias("c1"),
+            F.col("object_kind").alias("c2"),
+            F.col("object_value").alias("c3"),
+        )
+        by_p = g.where(F.col("predicate") == "kg:inRegion").select(
+            F.lit("predicate").alias("which"),
+            F.col("subject").alias("c1"),
+            F.col("object_value").alias("c2"),
+            null.alias("c3"),
+        )
+        by_o = g.where(F.col("okey") == "<region:2>").select(
+            F.lit("object").alias("which"),
+            F.col("subject").alias("c1"),
+            F.col("predicate").alias("c2"),
+            null.alias("c3"),
+        )
+        return by_s.unionByName(by_p).unionByName(by_o)
+
+    q["graph_point_lookups"] = (
+        _point_lookups,
         TPCH_TRIPLES_SQL
         + """
-        SELECT DISTINCT predicate, object_kind, object_value
+        SELECT DISTINCT 'subject' AS which, predicate AS c1,
+               object_kind AS c2, object_value AS c3
         FROM keyed WHERE subject = 'nation:7'
-        """,
-    )
-
-    q["graph_with_predicate"] = (
-        lambda spark, sf: graph(spark, sf)
-        .where(F.col("predicate") == "kg:inRegion")
-        .select("subject", "object_value"),
-        TPCH_TRIPLES_SQL
-        + """
-        SELECT DISTINCT subject, object_value
+        UNION ALL
+        SELECT DISTINCT 'predicate', subject, object_value,
+               CAST(NULL AS VARCHAR)
         FROM keyed WHERE predicate = 'kg:inRegion'
+        UNION ALL
+        SELECT DISTINCT 'object', subject, predicate,
+               CAST(NULL AS VARCHAR)
+        FROM keyed WHERE okey = '<region:2>'
         """,
     )
 
-    q["graph_with_object"] = (
-        lambda spark, sf: graph(spark, sf)
-        .where(F.col("okey") == "<region:2>")
-        .select("subject", "predicate"),
-        TPCH_TRIPLES_SQL
-        + "SELECT DISTINCT subject, predicate FROM keyed WHERE okey = '<region:2>'",
-    )
-
-    q["graph_with_subj_pred"] = (
-        lambda spark, sf: graph(spark, sf)
-        .where((F.col("subject") == "nation:7") & (F.col("predicate") == "kg:name"))
-        .select("object_value"),
-        TPCH_TRIPLES_SQL
-        + """
-        SELECT DISTINCT object_value FROM keyed
-        WHERE subject = 'nation:7' AND predicate = 'kg:name'
-        """,
-    )
-
-    q["graph_with_pred_obj"] = (
-        lambda spark, sf: graph(spark, sf)
-        .where(
-            (F.col("predicate") == "rdf:type") & (F.col("okey") == "<kg:Nation>")
+    # graph_with_subj_pred / graph_with_pred_obj / graph_with_subj_obj
+    # folded into ONE two-bound-lookup gate (round-6 registry swap,
+    # freeing slots for bgp_agg / bgp_union): each branch keeps its
+    # original filter and projection EXACTLY, tagged by a
+    # discriminator column so all three lookups stay value-checked.
+    def _two_bound(spark, sf):
+        g = graph(spark, sf)
+        sp = (
+            g.where(
+                (F.col("subject") == "nation:7")
+                & (F.col("predicate") == "kg:name")
+            )
+            .select(F.lit("subj_pred").alias("which"),
+                    F.col("object_value").alias("v"))
         )
-        .select("subject"),
+        po = (
+            g.where(
+                (F.col("predicate") == "rdf:type")
+                & (F.col("okey") == "<kg:Nation>")
+            )
+            .select(F.lit("pred_obj").alias("which"),
+                    F.col("subject").alias("v"))
+        )
+        so = (
+            g.where(
+                (F.col("subject") == "nation:7")
+                & (F.col("okey") == "<region:2>")
+            )
+            .select(F.lit("subj_obj").alias("which"),
+                    F.col("predicate").alias("v"))
+        )
+        return sp.unionByName(po).unionByName(so)
+
+    q["graph_with_two_bound"] = (
+        _two_bound,
         TPCH_TRIPLES_SQL
         + """
-        SELECT DISTINCT subject FROM keyed
+        SELECT DISTINCT 'subj_pred' AS which, object_value AS v
+        FROM keyed WHERE subject = 'nation:7' AND predicate = 'kg:name'
+        UNION ALL
+        SELECT DISTINCT 'pred_obj', subject FROM keyed
         WHERE predicate = 'rdf:type' AND okey = '<kg:Nation>'
-        """,
-    )
-
-    q["graph_with_subj_obj"] = (
-        lambda spark, sf: graph(spark, sf)
-        .where(
-            (F.col("subject") == "nation:7") & (F.col("okey") == "<region:2>")
-        )
-        .select("predicate"),
-        TPCH_TRIPLES_SQL
-        + """
-        SELECT DISTINCT predicate FROM keyed
+        UNION ALL
+        SELECT DISTINCT 'subj_obj', predicate FROM keyed
         WHERE subject = 'nation:7' AND okey = '<region:2>'
         """,
     )
@@ -1340,6 +1367,54 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         _bgp_star_oracle(),
     )
 
+    q["bgp_agg"] = (
+        # SPARQL 1.1 aggregation (operators/bgp_agg.py bgp_select):
+        # per-source document/mention counts, a deterministic SAMPLE,
+        # and a TYPED SUM over xsd:integer nchars literals decoded
+        # from node keys — grouped, HAVING-filtered, ordered. The
+        # oracle SQL is emitted by the same spec compiler
+        # (bgp_select_sql) over the independent pipeline-oracle CTEs,
+        # so the join graph, the aggregation, and the typed decode
+        # are each derived twice from one declarative spec.
+        lambda spark, sf: _bgp_agg(spark, sf),
+        _bgp_agg_oracle(),
+    )
+
+    q["bgp_union"] = (
+        # SPARQL UNION (operators/bgp_agg.py bgp_union): two arms with
+        # different variable sets (typed-entity mentions x media
+        # edges); the unbound variable NULL-pads per spec, and set
+        # semantics dedupe across arms. Twin generated by
+        # bgp_union_sql over the same arm specs.
+        lambda spark, sf: _bgp_union_gate(spark, sf),
+        _bgp_union_oracle(),
+    )
+
+    q["shacl_report"] = (
+        # SHACL-lite validation (operators/shacl.py): shape constraints
+        # over the flagship KG with DELIBERATE violations (media-free
+        # policy via max_count 0, a source allowlist that excludes most
+        # sources) plus conformant constraints (datatype/min_count on
+        # nchars) so both the violation and the clean path are
+        # re-oracled every round. The oracle is compiled from the SAME
+        # shape dicts by validate_sql over the independent pipeline
+        # CTEs.
+        lambda spark, sf: _shacl_report(spark, sf),
+        _shacl_report_oracle(),
+    )
+
+    q["graph_triangles"] = (
+        # Whole-graph analytics (operators/graph_algos.py): per-entity
+        # triangle counts of the co-mention graph (entities are
+        # adjacent when some document mentions both). Degree-ordered
+        # orientation counts each triangle exactly once with join
+        # fan-out bounded by oriented out-degree; the oracle is an
+        # independent DuckDB 3-way self-join over the pipeline-oracle
+        # mention CTE. Exact integers, no FP.
+        lambda spark, sf: _graph_triangles(spark, sf),
+        _GRAPH_TRIANGLES_ORACLE,
+    )
+
     q["path_supply_2hop"] = (
         # Property path p1/p2 (operators/bgp.py property_path) at real
         # volume: part -kg:suppliedBy/kg:name-> supplier-name literal
@@ -1558,6 +1633,137 @@ _BGP_STAR_ORACLE = PIPELINE_TRIPLES_SQL + """
          object_kind, object_value, object_type, object_lang
   FROM pipeline_triples
 )
+"""
+
+
+def _bgp_agg_spec() -> dict:
+    """ONE declarative spec consumed by BOTH bgp_select (DataFrame)
+    and bgp_select_sql (DuckDB oracle): per-source mention analytics
+    over the flagship KG — distinct docs, mention rows, deterministic
+    sample, and a typed SUM that decodes xsd:integer literals out of
+    node keys."""
+    return dict(
+        patterns=[
+            ("?doc", spec.PRED_MENTIONS, "?e"),
+            ("?doc", spec.PRED_SOURCE, "?src"),
+            ("?doc", spec.PRED_NCHARS, "?n"),
+        ],
+        group_by=["?src"],
+        aggregates={
+            "docs": ("count_distinct", "?doc"),
+            "mentions": ("count", "*"),
+            "first_doc": ("sample", "?doc"),
+            "chars": ("sum", "?n", "xsd:integer"),
+        },
+        having=[("mentions", ">=", 1)],
+        order_by=["?src"],
+    )
+
+
+def _bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators.bgp_agg import bgp_select
+
+    return bgp_select(_pipeline_canonical(spark, sf_dir), **_bgp_agg_spec())
+
+
+def _bgp_agg_oracle() -> str:
+    from triplestore_spark.operators.bgp_agg import bgp_select_sql
+
+    return _BGP_STAR_ORACLE + bgp_select_sql(table="bgp", **_bgp_agg_spec())
+
+
+def _bgp_union_arms() -> list:
+    return [
+        [("?d", spec.PRED_MENTIONS, "?e")],
+        [("?d", spec.PRED_HAS_MEDIA, "?m")],
+    ]
+
+
+def _bgp_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators.bgp_agg import bgp_union
+
+    return bgp_union(_pipeline_canonical(spark, sf_dir), _bgp_union_arms())
+
+
+def _bgp_union_oracle() -> str:
+    from triplestore_spark.operators.bgp_agg import bgp_union_sql
+
+    return _BGP_STAR_ORACLE + bgp_union_sql(_bgp_union_arms(), table="bgp")
+
+
+def _shacl_shapes() -> list:
+    """ONE shape list consumed by BOTH validate (DataFrame) and
+    validate_sql (DuckDB oracle). Deliberate violations: a media-free
+    policy (max_count 0 fires for every doc that has media — 1 in
+    MEDIA_EVERY by construction) and a two-source allowlist (every
+    other source violates 'in'); nchars datatype/min_count stay
+    conformant so the empty-constraint path is checked too."""
+    return [
+        {
+            "name": "DocShape",
+            "target_class": "kg:Document",
+            "properties": [
+                {"path": spec.PRED_HAS_MEDIA, "max_count": 0},
+                {"path": spec.PRED_SOURCE,
+                 "in": ["src:src0", "src:src1"]},
+                {"path": spec.PRED_NCHARS, "datatype": "xsd:integer",
+                 "min_count": 1, "min_inclusive": 0},
+            ],
+        }
+    ]
+
+
+def _shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triplestore_spark.operators.shacl import validate
+
+    return validate(_pipeline_canonical(spark, sf_dir), _shacl_shapes())
+
+
+def _shacl_report_oracle() -> str:
+    from triplestore_spark.operators.shacl import validate_sql
+
+    return _BGP_STAR_ORACLE + "SELECT * FROM (" + validate_sql(
+        _shacl_shapes(), table="bgp"
+    ) + ") rep"
+
+
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts of the co-mention graph: entities
+    adjacent when some document mentions both (operators/graph_algos
+    triangle_count over a derived edge view)."""
+    from triplestore_spark.operators.graph_algos import triangle_count
+
+    canon = _pipeline_canonical(spark, sf_dir)
+    m = canon.where(F.col("predicate") == spec.PRED_MENTIONS).select(
+        F.col("subject").alias("doc"), F.col("object_value").alias("e")
+    )
+    m2 = m.select(F.col("doc"), F.col("e").alias("e2"))
+    edges = (
+        m.join(m2, "doc")
+        .where(F.col("e") < F.col("e2"))
+        .select(F.col("e").alias("src"), F.col("e2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges, per_node=True)
+
+
+_GRAPH_TRIANGLES_ORACLE = PIPELINE_TRIPLES_SQL + """
+, men AS (
+  SELECT DISTINCT subject AS doc, object_value AS e
+  FROM pipeline_triples WHERE predicate = 'kg:mentions'
+),
+und AS (
+  SELECT DISTINCT m1.e AS a, m2.e AS b
+  FROM men m1 JOIN men m2 ON m1.doc = m2.doc AND m1.e < m2.e
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, count(*) AS n_triangles
+FROM tri, unnest([x, y, z]) AS t(node)
+GROUP BY node
 """
 
 
