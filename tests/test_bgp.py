@@ -1145,3 +1145,142 @@ def test_rdfgraph_construct_front_door(hand_graph):
         )
     )
     assert got == want and len(got) > 0
+
+
+# -- VALUES inline bindings + ASK ------------------------------------
+
+
+def test_bgp_values_single_var_differential(hand_graph):
+    """Single-variable VALUES: pure membership pushdown (no end
+    join); Spark == DuckDB twin, and == post-hoc isin."""
+    pats = [("?d", "kg:mentions", "?e")]
+    vals = {"?e": ["<e:spark>"]}
+    got = _spark_rows(bgp_match(hand_graph, pats, values=vals))
+    con = _duck(HAND)
+    want = _duck_rows(con, bgp_match_sql(pats, values=vals))
+    assert got == want
+    posthoc = _spark_rows(
+        bgp_match(hand_graph, pats).where("e = '<e:spark>'")
+    )
+    assert got == posthoc and len(got) == 3
+
+
+def test_bgp_values_tuples_with_undef(hand_graph):
+    """Multi-variable VALUES with an UNDEF: the (doc:2, UNDEF) row
+    matches every doc:2 mention; the fully-bound row matches one."""
+    pats = [("?d", "kg:mentions", "?e"), ("?d", "kg:source", "?s")]
+    vals = (
+        ["?d", "?e"],
+        [("<doc:2>", None), ("<doc:1>", "<e:spark>")],
+    )
+    got = _spark_rows(bgp_match(hand_graph, pats, values=vals))
+    con = _duck(HAND)
+    want = _duck_rows(con, bgp_match_sql(pats, values=vals))
+    assert got == want
+    assert got == [
+        ("<doc:1>", "<e:spark>", "<src:web>"),
+        ("<doc:2>", "<e:duck>", "<src:book>"),
+        ("<doc:2>", "<e:spark>", "<src:book>"),
+    ]
+
+
+def test_bgp_values_randomized_differential(spark):
+    """Seeded random graphs x random VALUES specs (with UNDEFs):
+    Spark == DuckDB on every draw."""
+    rng = random.Random(20260818)
+    for round_i in range(4):
+        rows = []
+        for d in range(7):
+            for e in range(4):
+                if rng.random() < 0.5:
+                    rows.append(
+                        (f"doc:{d}", False, "kg:mentions", "res",
+                         f"e:{e}", "", "")
+                    )
+            rows.append(
+                (f"doc:{d}", False, "kg:source", "res",
+                 f"src:{rng.randrange(3)}", "", "")
+            )
+        g = RDFGraph(
+            spark.createDataFrame(rows, S.TRIPLE_SCHEMA), cache=False
+        )
+        pats = [("?d", "kg:mentions", "?e"), ("?d", "kg:source", "?s")]
+        vrows = set()
+        while len(vrows) < 3:
+            vrows.add((
+                f"<doc:{rng.randrange(7)}>" if rng.random() < 0.8 else None,
+                f"<src:{rng.randrange(3)}>" if rng.random() < 0.5 else None,
+            ))
+        vals = (["?d", "?s"], sorted(vrows, key=str))
+        got = _spark_rows(bgp_match(g, pats, values=vals))
+        con = _duck(rows)
+        want = _duck_rows(con, bgp_match_sql(pats, values=vals))
+        assert got == want, (round_i, vals)
+
+
+def test_bgp_values_bag_multiplicity(hand_graph):
+    """In bag mode a solution matching rows in two UNDEF-mask groups
+    appears once per matching row (SPARQL join multiplicity); set
+    mode dedupes."""
+    pats = [("?d", "kg:mentions", "?e")]
+    vals = (["?d", "?e"], [("<doc:1>", None), (None, "<e:spark>")])
+    bag = bgp_match(hand_graph, pats, values=vals, distinct=False)
+    # doc:1/e:spark matches BOTH rows -> twice in bag mode
+    assert bag.count() == 4
+    con = _duck(HAND)
+    want = sorted(
+        tuple(r) for r in con.execute(
+            bgp_match_sql(pats, values=vals, distinct=False)
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in bag.collect()) == want
+    assert bgp_match(hand_graph, pats, values=vals).count() == 3
+
+
+def test_bgp_values_validation(hand_graph):
+    pats = [("?d", "kg:mentions", "?e")]
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_match(hand_graph, pats, values={"?zzz": ["<e:spark>"]})
+    with pytest.raises(ValueError, match="duplicate row"):
+        bgp_match(
+            hand_graph, pats,
+            values=(["?e"], [("<e:spark>",), ("<e:spark>",)]),
+        )
+    with pytest.raises(ValueError, match="row width"):
+        bgp_match(hand_graph, pats, values=(["?d", "?e"], [("<doc:1>",)]))
+    with pytest.raises(ValueError, match="no binding rows"):
+        bgp_match(hand_graph, pats, values={"?e": []})
+    with pytest.raises(ValueError, match="tuple form"):
+        bgp_match(
+            hand_graph, pats,
+            values={"?d": ["<doc:1>"], "?e": ["<e:spark>"]},
+        )
+
+
+def test_rdfgraph_ask(hand_graph):
+    """ASK front door: existence over the full pattern surface."""
+    assert hand_graph.ask([("?d", "kg:mentions", "?e")])
+    assert hand_graph.ask(
+        [("?d", "kg:mentions", "?e")], values={"?e": ["<e:duck>"]}
+    )
+    assert not hand_graph.ask([("?d", "kg:promotes", "?e")])
+    assert not hand_graph.ask(
+        [("?d", "kg:mentions", "?e")], values={"?e": ["<e:nope>"]}
+    )
+
+
+def test_bgp_values_membership_pushed_below_join(spark, tmp_path):
+    """The VALUES membership prefilter lands in the join's SUBTREE
+    (below the shuffle), on every scan binding the variable."""
+    path = str(tmp_path / "valspush")
+    spark.createDataFrame(HAND, S.TRIPLE_SCHEMA).write.parquet(path)
+    g = spark.read.parquet(path)
+    df = bgp_match(
+        g,
+        [("?d", "kg:mentions", "?e"), ("?d", "kg:source", "?s")],
+        values={"?e": ["<e:spark>", "<e:duck>"]},
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.index("Join")
+    memb_at = plan.index("e:spark")
+    assert memb_at > join_at, plan

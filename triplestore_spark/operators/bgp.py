@@ -347,6 +347,64 @@ def compile_binding_filter(
     return _FILTER_OPS[op](typed_val, rhs)
 
 
+def _norm_values(values) -> tuple[list[str], list[tuple]]:
+    """Normalize a SPARQL-VALUES spec to (var names, binding rows).
+
+    Accepts {'?v': [keys...]} for one variable, or the tuple form
+    (['?a', '?b'], [(ka, kb), ...]) for binding tuples. Bindings are
+    canonical node-key strings; None inside a row is UNDEF (that
+    variable is unconstrained for that row). Rows must be unique —
+    a duplicate literal VALUES row would duplicate every matching
+    solution in bag mode, which is never what a user wants from an
+    inline list (deliberate, documented deviation from SPARQL's
+    multiset VALUES; it also keeps the membership pushdown exact)."""
+    from collections.abc import Mapping as _Mapping
+
+    if isinstance(values, _Mapping):
+        if len(values) != 1:
+            raise ValueError(
+                "bgp values: use the (['?a', '?b'], rows) tuple form "
+                "for multi-variable bindings — a dict of independent "
+                "lists is ambiguous (cross product vs zip)"
+            )
+        ((var, vals),) = values.items()
+        vars_spec: Sequence = [var]
+        rows_spec: Sequence = [(x,) for x in vals]
+    else:
+        try:
+            vars_spec, rows_spec = values
+        except (TypeError, ValueError):
+            raise ValueError(f"bgp values: bad spec {values!r}")
+    if not vars_spec or not all(_is_var(v) for v in vars_spec):
+        raise ValueError(
+            f"bgp values: variables must be '?name': {list(vars_spec)!r}"
+        )
+    names = [_var(v) for v in vars_spec]
+    if len(set(names)) != len(names):
+        raise ValueError("bgp values: duplicate variable")
+    rows = [tuple(r) for r in rows_spec]
+    if not rows:
+        raise ValueError("bgp values: no binding rows")
+    seen = set()
+    for r in rows:
+        if len(r) != len(names):
+            raise ValueError(
+                f"bgp values: row width != {len(names)}: {r!r}"
+            )
+        if any(x is not None and not isinstance(x, str) for x in r):
+            raise ValueError(
+                f"bgp values: bindings are node-key strings (or None "
+                f"for UNDEF): {r!r}"
+            )
+        if r in seen:
+            raise ValueError(
+                f"bgp values: duplicate row {r!r} would duplicate "
+                "every matching solution"
+            )
+        seen.add(r)
+    return names, rows
+
+
 def bgp_match(
     graph: RDFGraph | DataFrame,
     patterns: Sequence[Pattern] | str,
@@ -354,6 +412,7 @@ def bgp_match(
     optional: Sequence[Sequence[Pattern] | str] | None = None,
     anti: Sequence[Sequence[Pattern] | str] | None = None,
     filters: Sequence[tuple] | None = None,
+    values: tuple | dict | None = None,
     allow_product: bool = False,
     distinct: bool = True,
 ) -> DataFrame:
@@ -399,6 +458,17 @@ def bgp_match(
     bound by exactly one pattern is PUSHED BELOW the joins onto that
     pattern's scan; multi-pattern variables filter after the required
     joins. Filters may reference required-BGP variables only.
+
+    `values` injects inline bindings (SPARQL VALUES): {'?v': [node
+    keys...]} for one variable, or (['?a', '?b'], [(ka, kb), ...])
+    for tuples, with None as UNDEF (that variable unconstrained for
+    that row). Variables must be bound by the required patterns.
+    Column-wise membership is PUSHED onto every scan binding the
+    variable (whenever the column has no UNDEF), so at scale the
+    constants prune the layout scans like any other filter; the exact
+    tuple constraint is a broadcast semi-join per UNDEF-mask group at
+    the end (a single fully-bound variable needs no end join at all).
+    Binding rows must be unique (see _norm_values).
 
     `anti` adds negation (SPARQL FILTER NOT EXISTS): each group is
     matched as a BGP and required-side rows with ANY match on the
@@ -499,6 +569,37 @@ def bgp_match(
         else:
             post_filters.append(cond)
 
+    # VALUES: column-wise membership pushdown onto the scans (exact
+    # when the spec has a single fully-bound variable — then no end
+    # join is needed; otherwise a necessary-condition prefilter with
+    # the exact tuple semi-join applied at the end, see below).
+    vals_end_join: tuple[list[str], list[tuple]] | None = None
+    if values is not None:
+        vnames, vrows = _norm_values(values)
+        scan_vars = set()
+        for _, vars_, _ in scans:
+            scan_vars |= set(vars_)
+        unbound = [v for v in vnames if v not in scan_vars]
+        if unbound:
+            raise ValueError(
+                f"bgp values: variables {unbound} are not bound by "
+                "the required patterns"
+            )
+        for ci, v in enumerate(vnames):
+            col_vals = [r[ci] for r in vrows]
+            if any(x is None for x in col_vals):
+                continue  # some row leaves v UNDEF — no prefilter
+            members = sorted(set(col_vals))
+            for i, (scan, vars_, n_const) in enumerate(scans):
+                if v in vars_:
+                    scans[i] = (
+                        scan.where(F.col(v).isin(members)),
+                        vars_,
+                        n_const + 1,
+                    )
+        if len(vnames) > 1 or any(r[0] is None for r in vrows):
+            vals_end_join = (vnames, vrows)
+
     var_order: list[str] = []
     for pat in patterns:
         for t in pat:
@@ -582,6 +683,38 @@ def bgp_match(
                 for t in v:
                     if _is_var(t) and _var(t) not in var_order:
                         var_order.append(_var(t))
+
+    if vals_end_join is not None:
+        # exact VALUES constraint: group binding rows by their
+        # UNDEF mask; each mask group is a tiny unique-keyed table
+        # broadcast-semi-joined on its defined variables (an all-UNDEF
+        # row matches every solution). Union-all across mask groups is
+        # SPARQL's join multiplicity: a solution matching rows in two
+        # groups appears twice in bag mode (distinct dedupes in set
+        # mode below).
+        vnames, vrows = vals_end_join
+        by_mask: dict[tuple, list[tuple]] = {}
+        for r in vrows:
+            mask = tuple(x is not None for x in r)
+            by_mask.setdefault(mask, []).append(r)
+        branches: list[DataFrame] = []
+        for mask, rows_m in by_mask.items():
+            defined = [v for v, m in zip(vnames, mask) if m]
+            if not defined:
+                branches.append(cur)
+                continue
+            data = [
+                tuple(x for x, m in zip(r, mask) if m) for r in rows_m
+            ]
+            vdf = cur.sparkSession.createDataFrame(
+                data, ", ".join(f"`{v}` string" for v in defined)
+            )
+            branches.append(
+                cur.join(F.broadcast(vdf), on=defined, how="leftsemi")
+            )
+        cur = branches[0]
+        for b in branches[1:]:
+            cur = cur.unionByName(b)
 
     out = cur.select(*var_order)
     return out.distinct() if distinct else out
@@ -1041,6 +1174,7 @@ def bgp_match_sql(
     *,
     optional: Sequence[Sequence[Pattern] | str] | None = None,
     anti: Sequence[Sequence[Pattern] | str] | None = None,
+    values: tuple | dict | None = None,
     distinct: bool = True,
 ) -> str:
     """ANSI-SQL equivalent of bgp_match over a component-column triple
@@ -1050,9 +1184,39 @@ def bgp_match_sql(
     become LEFT JOINs of the group's own BGP subquery on the shared
     variables and `anti` groups correlated NOT EXISTS predicates,
     mirroring bgp_match's well-designed-pattern semantics (the same
-    validation errors are raised)."""
+    validation errors are raised). `values` becomes a JOIN against an
+    inline VALUES table with NULL-as-UNDEF wildcard conditions."""
     if isinstance(patterns, str):
         patterns = parse_bgp(patterns)
+    if values is not None:
+        vnames, vrows = _norm_values(values)
+        bound_vars = set(_pattern_vars(patterns))
+        unbound = [v for v in vnames if v not in bound_vars]
+        if unbound:
+            raise ValueError(
+                f"bgp values: variables {unbound} are not bound by "
+                "the required patterns"
+            )
+        inner = bgp_match_sql(
+            patterns, table, optional=optional, anti=anti, distinct=False
+        )
+        rows_sql = ", ".join(
+            "("
+            + ", ".join(
+                _sql_str(x) if x is not None else "CAST(NULL AS VARCHAR)"
+                for x in r
+            )
+            + ")"
+            for r in vrows
+        )
+        conds = " AND ".join(
+            f"(v.{n} IS NULL OR v.{n} = q.{n})" for n in vnames
+        )
+        kw = "DISTINCT " if distinct else ""
+        return (
+            f"SELECT {kw}q.* FROM ({inner}) q JOIN "
+            f"(VALUES {rows_sql}) v({', '.join(vnames)}) ON {conds}"
+        )
     if optional is not None:
         optional = [
             parse_bgp(g) if isinstance(g, str) else g for g in optional

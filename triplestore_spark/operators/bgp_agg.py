@@ -242,6 +242,7 @@ def bgp_select_sql(
     limit: int | None = None,
     optional=None,
     anti=None,
+    values=None,
     distinct: bool | None = None,
 ) -> str:
     """ANSI-SQL twin of bgp_select for DuckDB — same spec, same
@@ -250,7 +251,8 @@ def bgp_select_sql(
     if distinct is None:
         distinct = not (group_by or aggregates)
     inner = bgp_match_sql(
-        patterns, table, optional=optional, anti=anti, distinct=distinct
+        patterns, table, optional=optional, anti=anti, values=values,
+        distinct=distinct,
     )
     group_vars = [_var(g) if _is_var(g) else g for g in (group_by or [])]
     selects = list(group_vars)
@@ -377,7 +379,8 @@ def bgp_union_sql(
         bound = set(_pattern_vars(arm_pats))
         inner = bgp_match_sql(
             pats, table,
-            optional=opt, anti=g.get("anti"), distinct=False,
+            optional=opt, anti=g.get("anti"), values=g.get("values"),
+            distinct=False,
         )
         cols = ", ".join(
             v if v in bound else f"CAST(NULL AS VARCHAR) AS {v}"

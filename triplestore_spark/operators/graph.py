@@ -119,7 +119,8 @@ class RDFGraph:
         See operators.bgp.bgp_match for the full surface (pattern
         lists, path-expression predicates incl. Kleene closure,
         OPTIONAL groups, NOT-EXISTS negation, typed FILTER value
-        constraints, distinct). SELECT-level kwargs (group_by,
+        constraints, VALUES inline bindings, distinct). SELECT-level
+        kwargs (group_by,
         aggregates, having, order_by, limit) route through
         operators.bgp_agg.bgp_select — SPARQL 1.1 aggregation and
         solution modifiers."""
@@ -133,6 +134,17 @@ class RDFGraph:
 
             return bgp_select(self, patterns, **kwargs)
         return bgp_match(self, patterns, **kwargs)
+
+    def ask(self, patterns, **kwargs) -> bool:
+        """SPARQL-ASK front door: does at least one solution exist?
+        Evaluates the full query() pattern surface in bag mode with a
+        limit-1 plan — Spark stops scanning at the first row, so an
+        ASK on a selective pattern touches a handful of row groups,
+        not the table."""
+        from triplestore_spark.operators.bgp import bgp_match
+
+        kwargs.setdefault("distinct", False)
+        return bool(bgp_match(self, patterns, **kwargs).limit(1).take(1))
 
     def union(self, groups, *, distinct: bool = True) -> DataFrame:
         """SPARQL UNION front door: match each arm independently and
