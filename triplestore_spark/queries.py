@@ -1641,13 +1641,18 @@ def _bgp_agg_spec() -> dict:
     and bgp_select_sql (DuckDB oracle): per-source mention analytics
     over the flagship KG — distinct docs, mention rows, deterministic
     sample, and a typed SUM that decodes xsd:integer literals out of
-    node keys."""
+    node keys. The VALUES clause carries an UNDEF row plus a bound
+    row, so SPARQL join multiplicity is re-oracled every round: the
+    src0 group aggregates its solutions TWICE (once via each matching
+    VALUES row), every other group once — both engines derive that
+    from the same spec."""
     return dict(
         patterns=[
             ("?doc", spec.PRED_MENTIONS, "?e"),
             ("?doc", spec.PRED_SOURCE, "?src"),
             ("?doc", spec.PRED_NCHARS, "?n"),
         ],
+        values=(["?src"], [("<src:src0>",), (None,)]),
         group_by=["?src"],
         aggregates={
             "docs": ("count_distinct", "?doc"),
