@@ -217,3 +217,50 @@ def test_walks_validations(spark):
     e = _edges_df(spark, [("a", "b")])
     with pytest.raises(ValueError, match="walk_length"):
         random_walks(e, ["a"], walk_length=0)
+
+
+def test_skipgrams_differential_and_shape(spark):
+    """Skip-gram pairs: bag-mode multiset equality with the DuckDB
+    twin on deterministic walks; window/symmetry semantics."""
+    from triplestore_spark.operators.graph_sample import (
+        random_walks,
+        walks_to_skipgrams,
+        walks_to_skipgrams_sql,
+    )
+    import duckdb
+
+    pairs = [(f"v{i}", f"v{(i + 1) % 9}") for i in range(9)]
+    pairs += [(f"v{i}", f"v{(i + 3) % 9}") for i in range(9)]
+    walks = random_walks(
+        _edges_df(spark, pairs), ["v0", "v4"],
+        walk_length=6, walks_per_seed=2,
+    ).cache()
+    wrows = [tuple(r) for r in walks.collect()]
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "walks",
+        pd.DataFrame(wrows, columns=["walk", "seed", "step", "node"]),
+    )
+    for symmetric in (True, False):
+        got = sorted(
+            tuple(r)
+            for r in walks_to_skipgrams(
+                walks, window=2, symmetric=symmetric
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                walks_to_skipgrams_sql(window=2, symmetric=symmetric)
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0, symmetric
+    # symmetric doubles the forward pairs (every (c, x) has (x, c))
+    sym = walks_to_skipgrams(walks, window=2).count()
+    fwd = walks_to_skipgrams(walks, window=2, symmetric=False).count()
+    assert sym == 2 * fwd
+    walks.unpersist()
+    with pytest.raises(ValueError, match="window"):
+        walks_to_skipgrams(walks, window=0)

@@ -48,6 +48,8 @@ __all__ = [
     "sample_neighborhoods_sql",
     "random_walks",
     "random_walks_sql",
+    "walks_to_skipgrams",
+    "walks_to_skipgrams_sql",
 ]
 
 # unit separator — cannot appear in node keys (control char)
@@ -263,6 +265,54 @@ def random_walks_sql(
         f"SELECT * FROM w{t}" for t in range(walk_length + 1)
     )
     return ", ".join(parts) + " " + union
+
+
+def walks_to_skipgrams(
+    walks: DataFrame, *, window: int = 2, symmetric: bool = True
+) -> DataFrame:
+    """Skip-gram corpus from a walk table (the actual training input
+    DeepWalk/node2vec feeds word2vec): (center, context) pairs for
+    positions at distance 1..window within one walk, in bag mode
+    (multiplicities ARE the training weights). `symmetric=False`
+    keeps only forward pairs (context after center).
+
+    One self-join keyed on the walk id: walks are short (length+1
+    rows), so per-key fan-out is <= 2*window per position — the
+    shuffle moves the walk table twice, never the graph."""
+    window = int(window)
+    if window < 1:
+        raise ValueError("walks_to_skipgrams: window must be >= 1")
+    a = walks.select(
+        "walk", F.col("step").alias("s1"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk", F.col("step").alias("s2"), F.col("node").alias("context")
+    )
+    d = F.col("s2") - F.col("s1")
+    cond = (
+        (d != 0) & (F.abs(d) <= window)
+        if symmetric
+        else (d >= 1) & (d <= window)
+    )
+    return a.join(b, "walk").where(cond).select("center", "context")
+
+
+def walks_to_skipgrams_sql(
+    *, window: int = 2, symmetric: bool = True, walks: str = "walks"
+) -> str:
+    """DuckDB twin over a `walks(walk, seed, step, node)` view."""
+    window = int(window)
+    if window < 1:
+        raise ValueError("walks_to_skipgrams: window must be >= 1")
+    cond = (
+        f"a.step <> b.step AND abs(b.step - a.step) <= {window}"
+        if symmetric
+        else f"b.step - a.step BETWEEN 1 AND {window}"
+    )
+    return (
+        f"SELECT a.node AS center, b.node AS context FROM {walks} a "
+        f"JOIN {walks} b ON a.walk = b.walk AND {cond}"
+    )
 
 
 def sample_neighborhoods_sql(
