@@ -163,6 +163,16 @@ class RDFGraph:
 
         return bgp_construct(self, patterns, template, **kwargs)
 
+    def to_property_graph(self, **kwargs):
+        """(vertices, edges) DataFrames — the labeled-property-graph
+        projection downstream graph systems consume
+        (operators.property_graph.to_property_graph)."""
+        from triplestore_spark.operators.property_graph import (
+            to_property_graph,
+        )
+
+        return to_property_graph(self, **kwargs)
+
     def describe(self, node: str) -> DataFrame:
         """Every triple touching `node` (as subject, or as resource /
         bnode object) — the exploration helper SPARQL calls DESCRIBE.
