@@ -249,3 +249,131 @@ def test_pagerank_validations(spark):
         pagerank(_edges_df(spark, [("a", "b")]), iterations=0)
     empty = _edges_df(spark, []).where("src <> src")
     assert pagerank(empty, iterations=3).count() == 0
+
+
+def _py_kcore(pairs, k):
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, s in adj.items() if len(s) < k]:
+            for p in adj.pop(n):
+                adj[p].discard(n)
+            changed = True
+    return set(adj)
+
+
+def test_k_core_known_and_random(spark):
+    """K4 plus a pendant chain: the 3-core is exactly the K4; seeded
+    random graphs match an independent pure-python peeling."""
+    from triplestore_spark.operators.graph_algos import k_core
+
+    k4 = [(f"k{i}", f"k{j}") for i in range(4) for j in range(4) if i < j]
+    chain = [("k0", "p1"), ("p1", "p2")]
+    got = {
+        r["node"]
+        for r in k_core(_edges_df(spark, k4 + chain), 3).collect()
+    }
+    assert got == {"k0", "k1", "k2", "k3"}
+    rng = random.Random(13)
+    for round_i in range(2):
+        pairs = sorted(
+            {
+                (f"v{rng.randrange(18)}", f"v{rng.randrange(18)}")
+                for _ in range(45)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        for k in (2, 3):
+            got = {
+                r["node"]
+                for r in k_core(_edges_df(spark, pairs), k).collect()
+            }
+            assert got == _py_kcore(pairs, k), (round_i, k)
+
+
+def _py_link_scores(pairs):
+    import math
+
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    out = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            cn = len(common)
+            out[(a, b)] = (
+                cn,
+                cn / (len(adj[a]) + len(adj[b]) - cn),
+                sum(1.0 / math.log(len(adj[m])) for m in common),
+            )
+    return out
+
+
+def test_link_prediction_vs_python(spark):
+    """Seeded random graphs: (pair set, all three metrics) match an
+    independent pure-python computation to 1e-12."""
+    from triplestore_spark.operators.graph_algos import (
+        link_prediction_scores,
+    )
+
+    rng = random.Random(23)
+    for round_i in range(2):
+        pairs = sorted(
+            {
+                (f"v{rng.randrange(14)}", f"v{rng.randrange(14)}")
+                for _ in range(40)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        want = _py_link_scores(pairs)
+        got = {
+            (r["a"], r["b"]): (
+                r["common_neighbors"],
+                r["jaccard"],
+                r["adamic_adar"],
+            )
+            for r in link_prediction_scores(
+                _edges_df(spark, pairs)
+            ).collect()
+        }
+        assert set(got) == set(want), round_i
+        for key in want:
+            assert got[key][0] == want[key][0], key
+            assert got[key][1] == pytest.approx(want[key][1], abs=1e-12)
+            assert got[key][2] == pytest.approx(want[key][2], abs=1e-12)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """A triangle has no candidate pairs (all pairs are edges); a
+    path a-m-b yields exactly (a, b)."""
+    from triplestore_spark.operators.graph_algos import (
+        link_prediction_scores,
+    )
+
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    assert link_prediction_scores(_edges_df(spark, tri)).count() == 0
+    path = [("a", "m"), ("m", "b")]
+    rows = link_prediction_scores(_edges_df(spark, path)).collect()
+    assert len(rows) == 1 and (rows[0]["a"], rows[0]["b"]) == ("a", "b")
+    assert rows[0]["common_neighbors"] == 1
+    assert rows[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_k_core_validations(spark):
+    from triplestore_spark.operators.graph_algos import k_core
+
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(_edges_df(spark, [("a", "b")]), 0)
