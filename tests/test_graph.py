@@ -155,3 +155,31 @@ def test_materialized_layouts(spark, tmp_path, snap):
     assert g.contains(subj_pred("four", "two").integer_literal(42))
     # equal to the in-memory snapshot
     assert g.equal(snap)
+
+
+def test_snapshot_at_time_travel(spark):
+    """snapshot_at(n) reconstructs the graph after the first n ops of
+    the log: 0 = empty, len = snapshot(), removes respected mid-log,
+    and later ops don't leak backwards."""
+    import pytest
+
+    src = TripleSource(spark)
+    t1 = subj_pred("one", "two").integer_literal(3)
+    t2 = subj_pred("one", "two").integer_literal(4)
+    t3 = subj_pred("four", "two").integer_literal(42)
+    src.add(t1, t2)   # op 0
+    src.remove(t1)    # op 1
+    src.add(t3)       # op 2
+    assert len(src) == 3
+    assert src.snapshot_at(0).count() == 0
+    g1 = src.snapshot_at(1)
+    assert g1.count() == 2 and g1.contains(t1) and g1.contains(t2)
+    g2 = src.snapshot_at(2)
+    assert g2.count() == 1 and not g2.contains(t1)
+    g3 = src.snapshot_at(3)
+    assert g3.count() == 2 and g3.contains(t3)
+    assert g3.equal(src.snapshot())
+    with pytest.raises(ValueError, match="n_ops"):
+        src.snapshot_at(4)
+    with pytest.raises(ValueError, match="n_ops"):
+        src.snapshot_at(-1)

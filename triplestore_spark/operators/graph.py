@@ -277,10 +277,11 @@ class TripleSource:
     def copy_triples(self) -> DataFrame:
         return self._fold()
 
-    def _fold(self) -> DataFrame:
-        """Fold the op log: consecutive adds union together (one dedup),
-        each remove is an anti join. Order preserved — add/remove/add
-        of the same key resolves like the reference's map ops."""
+    def _fold(self, upto: int | None = None) -> DataFrame:
+        """Fold the op log (optionally only its first `upto` ops):
+        consecutive adds union together (one dedup), each remove is an
+        anti join. Order preserved — add/remove/add of the same key
+        resolves like the reference's map ops."""
         current = self._spark.createDataFrame([], S.TRIPLE_SCHEMA_KEYED)
         pending_adds: list[DataFrame] = []
 
@@ -291,7 +292,8 @@ class TripleSource:
                 pending_adds = []
             return cur
 
-        for op, df in self._ops:
+        ops = self._ops if upto is None else self._ops[:upto]
+        for op, df in ops:
             if op == "add":
                 pending_adds.append(df)
             else:
@@ -309,6 +311,24 @@ class TripleSource:
         self._snap = RDFGraph(self._fold())
         self._dirty_at = len(self._ops)
         return self._snap
+
+    def __len__(self) -> int:
+        return len(self._ops)
+
+    def snapshot_at(self, n_ops: int) -> RDFGraph:
+        """Time-travel: the graph after the first `n_ops` log entries
+        (0 = empty graph, len(source) = snapshot()). The op log IS the
+        version history — same fold, truncated — so auditing 'what did
+        the graph say before batch N' needs no extra storage."""
+        n_ops = int(n_ops)
+        if not 0 <= n_ops <= len(self._ops):
+            raise ValueError(
+                f"snapshot_at: n_ops must be in [0, {len(self._ops)}], "
+                f"got {n_ops}"
+            )
+        if n_ops == len(self._ops):
+            return self.snapshot()
+        return RDFGraph(self._fold(upto=n_ops), cache=False)
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:
