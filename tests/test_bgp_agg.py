@@ -370,3 +370,35 @@ def test_randomized_differential(spark):
         got2 = _spark_rows(bgp_select(g, MENTIONS, **spec2))
         want2 = _duck_rows(con, bgp_select_sql(MENTIONS, **spec2))
         assert got2 == want2, f"round {round_i} typed mismatch"
+
+
+def test_typed_order_by_topk(agg_graph, agg_con):
+    """Typed ORDER BY + LIMIT: the top-k is chosen by the DECODED
+    integer (lexicographic order would rank '80' above '120'); a
+    wrong-tag key decodes NULL and sorts last under desc. Pinned
+    expected rows AND the DuckDB twin."""
+    spec = dict(
+        patterns=[
+            ("?d", "kg:mentions", "?e"),
+            ("?d", "kg:nchars", "?n"),
+        ],
+        group_by=["?d"],
+        aggregates={"mentions": ("count", "*"),
+                    "n1": ("sample", "?n")},
+        order_by=[("n1", "desc", "xsd:integer"), "?d"],
+        limit=2,
+    )
+    got = [tuple(r) for r in bgp_select(agg_graph, **spec).collect()]
+    # 120 > 80 numerically (lexicographically '120' < '80')
+    assert [r[0] for r in got] == ["<doc:1>", "<doc:2>"]
+    want = [
+        tuple(r)
+        for r in agg_con.execute(
+            bgp_select_sql(table="triples", **spec)
+        ).fetchall()
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="direction"):
+        bgp_select(
+            agg_graph, spec["patterns"], order_by=[("?d", "sideways")]
+        )

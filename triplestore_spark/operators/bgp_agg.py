@@ -111,6 +111,22 @@ def _agg_column(alias: str, spec: tuple) -> Column:
     raise ValueError(f"aggregate {alias}: unknown function {fn!r}")
 
 
+def _norm_order(o) -> tuple[str, str, str | None]:
+    """One order_by entry -> (name, direction, xsd_type|None)."""
+    if isinstance(o, tuple):
+        if len(o) == 2:
+            name, direction, typ = *o, None
+        elif len(o) == 3:
+            name, direction, typ = o
+        else:
+            raise ValueError(f"order_by: bad entry {o!r}")
+    else:
+        name, direction, typ = o, "asc", None
+    if direction not in ("asc", "desc"):
+        raise ValueError(f"order_by: bad direction {direction!r}")
+    return name, direction, typ
+
+
 def bgp_select(
     graph,
     patterns,
@@ -140,8 +156,12 @@ def bgp_select(
 
     `having`: (alias, op, value) comparisons over aggregate outputs.
     `order_by`: (column, 'asc'|'desc') over group vars or aliases
-    (bare names mean 'asc'); `limit` caps rows AFTER ordering — Spark
-    plans sort+limit as a TakeOrdered top-k, no global sort at scale.
+    (bare names mean 'asc'). A third element names an xsd type —
+    ('?n', 'desc', 'xsd:integer') — and orders by the DECODED typed
+    value instead of the node-key string (lexicographic order on
+    numeric keys puts "10" before "9"; typed order is what a user
+    means). `limit` caps rows AFTER ordering — Spark plans sort+limit
+    as a TakeOrdered top-k, no global sort at scale.
     Remaining kwargs (optional/anti/filters/...) go to bgp_match.
     The match runs with bag semantics (distinct=False) because SPARQL
     aggregates consume the solution multiset; without group_by or
@@ -171,11 +191,13 @@ def bgp_select(
     if order_by:
         cols = []
         for o in order_by:
-            name, direction = o if isinstance(o, tuple) else (o, "asc")
+            name, direction, typ = _norm_order(o)
             name = _var(name) if _is_var(name) else name
-            if direction not in ("asc", "desc"):
-                raise ValueError(f"order_by: bad direction {direction!r}")
-            c = F.col(name)
+            c = (
+                _typed_binding(name, typ)
+                if typ is not None
+                else F.col(name)
+            )
             cols.append(c.asc() if direction == "asc" else c.desc())
         df = df.orderBy(*cols)
     if limit is not None:
@@ -283,12 +305,13 @@ def bgp_select_sql(
     if order_by:
         parts = []
         for o in order_by:
-            name, direction = o if isinstance(o, tuple) else (o, "asc")
+            name, direction, typ = _norm_order(o)
             name = _var(name) if _is_var(name) else name
+            expr = _duck_decoded(name, typ) if typ is not None else name
             parts.append(
-                f"{name} ASC NULLS FIRST"
+                f"{expr} ASC NULLS FIRST"
                 if direction == "asc"
-                else f"{name} DESC NULLS LAST"
+                else f"{expr} DESC NULLS LAST"
             )
         sql += " ORDER BY " + ", ".join(parts)
     if limit is not None:
