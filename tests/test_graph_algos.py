@@ -377,3 +377,68 @@ def test_k_core_validations(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         k_core(_edges_df(spark, [("a", "b")]), 0)
+
+
+def _py_bfs(pairs, seeds, direction, max_depth):
+    from collections import deque
+
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        if direction in ("out", "both"):
+            adj.setdefault(a, set()).add(b)
+        if direction in ("in", "both"):
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        v = q.popleft()
+        if dist[v] >= max_depth:
+            continue
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist
+
+
+def test_bfs_distances_vs_python(spark):
+    """Seeded random digraphs x all three directions: exact (node,
+    dist) map equality with an independent queue BFS."""
+    from triplestore_spark.operators.graph_algos import bfs_distances
+
+    rng = random.Random(31)
+    pairs = sorted(
+        {
+            (f"v{rng.randrange(22)}", f"v{rng.randrange(22)}")
+            for _ in range(50)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    seeds = ["v0", "v7"]
+    for direction in ("out", "in", "both"):
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(
+                _edges_df(spark, pairs), seeds, direction=direction
+            ).collect()
+        }
+        want = _py_bfs(pairs, seeds, direction, 20)
+        assert got == want, direction
+
+
+def test_bfs_distances_depth_cap_and_cycle(spark):
+    """A directed cycle: distances wrap without revisiting (BFS min);
+    max_depth truncates the reach."""
+    from triplestore_spark.operators.graph_algos import bfs_distances
+
+    n = 8
+    pairs = [(f"c{i}", f"c{(i + 1) % n}") for i in range(n)]
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(_edges_df(spark, pairs), ["c0"]).collect()
+    }
+    assert got == {f"c{i}": i for i in range(n)}
+    capped = bfs_distances(_edges_df(spark, pairs), ["c0"], max_depth=3)
+    assert capped.count() == 4  # c0..c3
+    with pytest.raises(ValueError, match="direction"):
+        bfs_distances(_edges_df(spark, pairs), ["c0"], direction="up")

@@ -47,6 +47,7 @@ __all__ = [
     "connected_components",
     "k_core",
     "link_prediction_scores",
+    "bfs_distances",
 ]
 
 
@@ -152,6 +153,69 @@ def degree_stats(edges: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("degree"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: "DataFrame | list[str]",
+    *,
+    max_depth: int = 20,
+    direction: str = "out",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: (node, dist) with dist = fewest hops from ANY
+    seed (seeds at 0), up to `max_depth`. `direction`: 'out' follows
+    edges, 'in' reverses them, 'both' treats the graph undirected.
+
+    Level-synchronous frontier expansion with a visited anti-join —
+    the same cycle-safe shape as the tree walk and the Kleene closure
+    (tree.py / bgp.py): each level is one equi-join frontier x edges
+    plus one anti-join against visited, lineage checkpointed every few
+    levels; stops early on an empty frontier. Unreachable nodes are
+    absent (no sentinel rows)."""
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"bfs_distances: bad direction {direction!r}")
+    if not isinstance(seeds, DataFrame):
+        seeds = edges.sparkSession.createDataFrame(
+            [(s,) for s in seeds], "node string"
+        )
+    e = edges.select("src", "dst")
+    if direction == "in":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "both":
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    visited = seeds.select("node").distinct().withColumn(
+        "dist", F.lit(0)
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    levels = [visited]
+    for depth in range(1, int(max_depth) + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("src")), "src",
+                "leftsemi",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        if depth % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt)
+        if depth % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def k_core(
