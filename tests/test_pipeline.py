@@ -209,3 +209,55 @@ def test_curate_funnel_end_to_end(spark, sf_dir):
         >= fc["capped"]
         >= fc["sampled"]
     )
+
+
+def test_curate_lm_screen_stage(spark, sf_dir):
+    """Optional LM perplexity stage: a gibberish doc (passes the
+    stats-based filter via stopword padding) is dropped by the
+    reference-trained screen; reference-like docs survive; the knobs
+    must be given together."""
+    import os
+
+    import pytest
+
+    from triplestore_spark.operators.lm import (
+        perplexity_score,
+        train_ngram_lm,
+    )
+    from triplestore_spark.operators.textstats import filter_documents
+    from triplestore_spark.pipeline.curate import curate
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ref = filter_documents(base)
+    # gibberish with stopwords so quality/lang gates pass (>=500
+    # chars for the length half of the quality score, distinct
+    # nonsense tokens for diversity) but bigrams unseen by the model
+    junk = " ".join(f"the zq{i}x w{i}vk" for i in range(60))
+    assert len(junk) >= 500
+    host = ref.orderBy("doc_id").limit(1).collect()[0]
+    df = base.unionByName(
+        spark.createDataFrame(
+            [(95001, junk, "en", host["source"], len(junk))], base.schema
+        )
+    )
+    model = train_ngram_lm(ref, n=2, min_count=2)
+    scores = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in perplexity_score(
+            filter_documents(df), model
+        ).collect()
+    }
+    # threshold between the corpus and the planted junk
+    thr = (
+        max(v for d, v in scores.items() if d != 95001 and v is not None)
+        + scores[95001]
+    ) / 2
+    assert scores[95001] > thr
+    res = curate(
+        df, lm_reference=ref, lm_max_avg_neg_logp=thr, lm_n=2
+    )
+    kept = {r["doc_id"] for r in res.lm_screened.select("doc_id").collect()}
+    assert 95001 not in kept and len(kept) > 0
+    assert res.funnel_counts()["lm_screened"] == len(kept)
+    with pytest.raises(ValueError, match="go together"):
+        curate(df, lm_reference=ref)

@@ -3,10 +3,10 @@ pretraining data pipeline applies between "raw crawl" and "training
 shards", each stage one of the library's oracled/differential-tested
 operators:
 
-    filter -> line dedup -> PII redaction -> eval decontamination
-    -> near-dup dedup (MinHash-LSH keep-list) -> per-source cap
-    -> mixture sampling (optionally with upsampling epochs)
-    -> deterministic shuffle
+    filter -> line dedup -> PII redaction -> [LM perplexity screen]
+    -> eval decontamination -> near-dup dedup (MinHash-LSH keep-list)
+    -> per-source cap -> mixture sampling (optionally with upsampling
+    epochs) -> deterministic shuffle
 
 Stage order rationale (each stage shrinks or normalizes the input of
 the next): the quality/language filter is a scan-speed funnel so it
@@ -50,15 +50,20 @@ class CurationResult:
     capped: DataFrame
     sampled: DataFrame
     docs: DataFrame
+    lm_screened: DataFrame | None = None
     mixture_fractions: dict[str, float] = field(default_factory=dict)
 
     def funnel_counts(self) -> dict[str, int]:
         """One count per stage — each is its own action; call on a
         small slice or cache upstream first."""
-        return {
+        out = {
             "filtered": self.filtered.count(),
             "line_deduped": self.line_deduped.count(),
             "redacted": self.redacted.count(),
+        }
+        if self.lm_screened is not None:
+            out["lm_screened"] = self.lm_screened.count()
+        return out | {
             "decontaminated": self.decontaminated.count(),
             "near_deduped": self.near_deduped.count(),
             "capped": self.capped.count(),
@@ -78,6 +83,10 @@ def curate(
     line_dedup: bool = True,
     min_line_chars: int = 1,
     redact: bool = True,
+    lm_reference: DataFrame | None = None,
+    lm_max_avg_neg_logp: float | None = None,
+    lm_n: int = 2,
+    lm_min_count: int = 2,
     decontaminate_ngram: int = 8,
     lsh_num_hashes: int = 32,
     lsh_bands: int = 8,
@@ -88,7 +97,10 @@ def curate(
     seed: int = 42,
 ) -> CurationResult:
     """Run the full curation funnel. `eval_docs=None` skips the
-    decontamination stage; `per_source_cap=None` skips the cap;
+    decontamination stage; `lm_reference=None` skips the perplexity
+    screen (give BOTH lm_reference and lm_max_avg_neg_logp to enable
+    it — a trusted corpus and the keep threshold on mean -ln p);
+    `per_source_cap=None` skips the cap;
     `token_budget=None` skips mixture sampling (and `epochs=True`
     additionally emits upsampling epoch copies for over-1.0 mixture
     weights). The returned CurationResult exposes every stage.
@@ -123,11 +135,33 @@ def curate(
     if redact:
         redacted = redacted.drop("n_redacted")
 
+    # optional CCNet-style LM perplexity screen — after redaction (it
+    # must see the final text), before the fingerprint-based stages
+    # (they're costlier, so screen first). Both knobs must be given.
+    lm_screened = None
+    if (lm_reference is None) != (lm_max_avg_neg_logp is None):
+        raise ValueError(
+            "curate: lm_reference and lm_max_avg_neg_logp go together"
+        )
+    if lm_reference is not None:
+        from triplestore_spark.operators.lm import (
+            perplexity_screen,
+            train_ngram_lm,
+        )
+
+        model = train_ngram_lm(
+            lm_reference, n=lm_n, min_count=lm_min_count
+        )
+        lm_screened = perplexity_screen(
+            redacted, model, max_avg_neg_logp=lm_max_avg_neg_logp
+        ).drop("n_grams", "avg_neg_logp")
+
     contamination_report = None
-    decontaminated = redacted
+    pre_decon = lm_screened if lm_screened is not None else redacted
+    decontaminated = pre_decon
     if eval_docs is not None:
         decontaminated, contamination_report = TS.decontaminate(
-            redacted, eval_docs, n=decontaminate_ngram
+            pre_decon, eval_docs, n=decontaminate_ngram
         )
 
     pairs = DD.minhash_lsh_pairs(
@@ -167,5 +201,6 @@ def curate(
         capped=capped,
         sampled=sampled,
         docs=final,
+        lm_screened=lm_screened,
         mixture_fractions=fractions,
     )
