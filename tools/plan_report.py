@@ -223,6 +223,29 @@ def main():
         )
     )
 
+    # round-6: LM perplexity scoring — the model-count joins must
+    # broadcast (model is the small trusted side) so candidate text
+    # never shuffles
+    from triplestore_spark.operators.lm import (
+        perplexity_score,
+        train_ngram_lm,
+    )
+
+    docs_lm = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sections.append(
+        (
+            "LM perplexity scoring (model-count joins broadcast; "
+            "candidate text never crosses an exchange; per-doc agg "
+            "partial+final)",
+            fmt(
+                perplexity_score(
+                    docs_lm,
+                    train_ngram_lm(docs_lm.limit(200), n=2, min_count=2),
+                )
+            ),
+        )
+    )
+
     # round-6: filter pushdown below the BGP join + the two-pass rank
     sections.append(
         (

@@ -104,8 +104,12 @@ def perplexity_score(
     if k <= 0:
         raise ValueError("perplexity_score: k must be > 0")
     toks = tokens_col(text_col)
+    # explode_OUTER keeps one NULL-gram row for sub-n-token docs, so
+    # every doc survives to the aggregation without a re-join against
+    # the input (one scan, no extra shuffle; the NULL row is masked
+    # out of both the count and the average below)
     grams = docs.select(
-        "doc_id", F.explode(_gram_strings(toks, n)).alias("gram")
+        "doc_id", F.explode_outer(_gram_strings(toks, n)).alias("gram")
     )
     split = _split_gram(grams, n)
     joined = (
@@ -117,29 +121,22 @@ def perplexity_score(
         .join(model["ctx_counts"], "ctx", "left")
         .select(
             "doc_id",
-            (
+            "word",
+            F.when(
+                F.col("word").isNotNull(),
                 -F.log(
                     (F.coalesce(F.col("c_gw"), F.lit(0)) + k)
                     / (
                         F.coalesce(F.col("ctx_count"), F.lit(0))
                         + k * F.lit(float(v))
                     )
-                )
+                ),
             ).alias("neg_logp"),
         )
     )
-    scores = joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
+    return joined.groupBy("doc_id").agg(
+        F.count("word").alias("n_grams"),
         F.avg("neg_logp").alias("avg_neg_logp"),
-    )
-    return (
-        docs.select("doc_id")
-        .join(scores, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            "avg_neg_logp",
-        )
     )
 
 
