@@ -1,0 +1,508 @@
+"""SPARQL text front door: every clause differentially checked
+against the programmatic API it compiles to (bgp_match / bgp_select /
+bgp_union / bgp_construct / property_path), plus parser unit tests
+and unsupported-construct refusals.
+
+The execution engines under the text layer are themselves
+driver-oracled (bgp_star, bgp_agg, bgp_union, path_supply_closure
+gates); these tests pin that the TEXT compiles to the same calls.
+"""
+
+import pytest
+
+from triplestore_spark import schema as S
+from triplestore_spark.dsl import Obj
+from triplestore_spark.operators.bgp import (
+    PathExpr,
+    bgp_construct,
+    bgp_match,
+    property_path,
+)
+from triplestore_spark.operators.bgp_agg import bgp_select, bgp_union
+from triplestore_spark.operators.graph import RDFGraph
+from triplestore_spark.operators.sparql import (
+    SparqlParseError,
+    parse_sparql,
+    sparql_query,
+)
+
+HAND = [
+    ("doc:1", False, "kg:mentions", "res", "e:spark", "", ""),
+    ("doc:1", False, "kg:source", "res", "src:web", "", ""),
+    ("doc:1", False, "kg:words", "lit", "120", "xsd:integer", ""),
+    ("doc:2", False, "kg:mentions", "res", "e:spark", "", ""),
+    ("doc:2", False, "kg:mentions", "res", "e:duck", "", ""),
+    ("doc:2", False, "kg:source", "res", "src:book", "", ""),
+    ("doc:2", False, "kg:words", "lit", "80", "xsd:integer", ""),
+    ("doc:3", False, "kg:mentions", "res", "e:duck", "", ""),
+    ("doc:3", False, "kg:words", "lit", "220", "xsd:integer", ""),
+    ("e:spark", False, "rdf:type", "res", "kg:Engine", "", ""),
+    ("e:duck", False, "rdf:type", "res", "kg:Engine", "", ""),
+    ("e:spark", False, "kg:name", "lit", "Spark", "xsd:string", ""),
+    ("e:spark", False, "kg:name", "lit", "Etincelle", "", "fr"),
+    ("e:duck", False, "kg:name", "lit", "Duck", "xsd:string", ""),
+    ("b0", True, "kg:mentions", "res", "e:spark", "", ""),
+    ("b0", True, "rdf:type", "res", "kg:Draft", "", ""),
+    # a small subclass chain for path closure
+    ("kg:Engine", False, "kg:sub", "res", "kg:System", "", ""),
+    ("kg:System", False, "kg:sub", "res", "kg:Thing", "", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return RDFGraph(
+        spark.createDataFrame(HAND, S.TRIPLE_SCHEMA), cache=False
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------ SELECT
+
+
+def test_select_star_bgp(g):
+    got = g.sparql(
+        "SELECT * WHERE { ?d kg:mentions ?e . ?e rdf:type kg:Engine }"
+    )
+    want = bgp_match(
+        g,
+        [("?d", "kg:mentions", "?e"), ("?e", "rdf:type", "kg:Engine")],
+    )
+    assert got.columns == want.columns
+    assert rows(got) == rows(want)
+
+
+def test_select_projection_and_distinct(g):
+    got = g.sparql("SELECT DISTINCT ?e WHERE { ?d kg:mentions ?e }")
+    want = (
+        bgp_match(g, [("?d", "kg:mentions", "?e")], distinct=False)
+        .select("e")
+        .distinct()
+    )
+    assert got.columns == ["e"]
+    assert rows(got) == rows(want)
+    # non-distinct keeps the solution multiset
+    bag = sparql_query(g, "SELECT ?e WHERE { ?d kg:mentions ?e }")
+    assert len(bag.collect()) == 5
+
+
+def test_select_optional_and_filter(g):
+    text = """
+    SELECT * WHERE {
+      ?d kg:mentions ?e .
+      OPTIONAL { ?d kg:source ?s }
+      FILTER(xsd:integer(?n) > 100)
+      ?d kg:words ?n .
+    }"""
+    got = sparql_query(g, text)
+    want = bgp_match(
+        g,
+        [("?d", "kg:mentions", "?e"), ("?d", "kg:words", "?n")],
+        optional=[[("?d", "kg:source", "?s")]],
+        filters=[("?n", ">", 100, "xsd:integer")],
+    )
+    assert rows(got.select(*sorted(got.columns))) == rows(
+        want.select(*sorted(want.columns))
+    )
+    docs = {r["d"] for r in got.collect()}
+    assert docs == {"<doc:1>", "<doc:3>"}
+
+
+def test_filter_const_on_left_flips(g):
+    got = sparql_query(
+        g, "SELECT ?d WHERE { ?d kg:words ?n FILTER(100 < xsd:integer(?n)) }"
+    )
+    assert {r["d"] for r in got.collect()} == {"<doc:1>", "<doc:3>"}
+
+
+def test_filter_typed_literal_comparand(g):
+    got = sparql_query(
+        g,
+        'SELECT ?d WHERE { ?d kg:words ?n '
+        'FILTER(?n >= "120"^^xsd:integer) }',
+    )
+    assert {r["d"] for r in got.collect()} == {"<doc:1>", "<doc:3>"}
+
+
+def test_filter_regex_and_string_eq(g):
+    got = sparql_query(
+        g, 'SELECT ?e WHERE { ?e kg:name ?v FILTER regex(?v, "^Sp") }'
+    )
+    assert {r["e"] for r in got.collect()} == {"<e:spark>"}
+    got = sparql_query(
+        g, 'SELECT ?e WHERE { ?e kg:name ?v FILTER(?v = "Duck") }'
+    )
+    assert {r["e"] for r in got.collect()} == {"<e:duck>"}
+
+
+def test_minus_and_not_exists_agree(g):
+    q1 = sparql_query(
+        g,
+        "SELECT ?d WHERE { ?d kg:mentions ?e "
+        "MINUS { ?d kg:source src:web } }",
+    )
+    q2 = sparql_query(
+        g,
+        "SELECT ?d WHERE { ?d kg:mentions ?e "
+        "FILTER NOT EXISTS { ?d kg:source src:web } }",
+    )
+    want = bgp_match(
+        g,
+        [("?d", "kg:mentions", "?e")],
+        anti=[[("?d", "kg:source", "src:web")]],
+    ).select("d")
+    assert rows(q1) == rows(q2) == rows(want)
+
+
+def test_values_single_and_tuple(g):
+    got = sparql_query(
+        g,
+        "SELECT * WHERE { ?d kg:mentions ?e "
+        "VALUES ?e { <e:duck> } }",
+    )
+    want = bgp_match(
+        g, [("?d", "kg:mentions", "?e")], values={"?e": ["<e:duck>"]}
+    )
+    assert rows(got) == rows(want)
+    got2 = sparql_query(
+        g,
+        "SELECT * WHERE { ?d kg:mentions ?e "
+        "VALUES (?d ?e) { (<doc:2> <e:duck>) (<doc:1> UNDEF) } }",
+    )
+    want2 = bgp_match(
+        g,
+        [("?d", "kg:mentions", "?e")],
+        values=(
+            ["?d", "?e"],
+            [("<doc:2>", "<e:duck>"), ("<doc:1>", None)],
+        ),
+    )
+    assert rows(got2) == rows(want2)
+    assert len(rows(got2)) == 2
+
+
+def test_literal_object_terms(g):
+    got = sparql_query(
+        g, 'SELECT ?e WHERE { ?e kg:name "Etincelle"@fr }'
+    )
+    assert {r["e"] for r in got.collect()} == {"<e:spark>"}
+    got = sparql_query(g, "SELECT ?d WHERE { ?d kg:words 220 }")
+    assert {r["d"] for r in got.collect()} == {"<doc:3>"}
+
+
+def test_predicate_object_list_abbreviations(g):
+    got = sparql_query(
+        g,
+        "SELECT * WHERE { ?d kg:mentions e:spark, e:duck ; "
+        "kg:source ?s }",
+    )
+    want = bgp_match(
+        g,
+        [
+            ("?d", "kg:mentions", "e:spark"),
+            ("?d", "kg:mentions", "e:duck"),
+            ("?d", "kg:source", "?s"),
+        ],
+    )
+    assert rows(got) == rows(want)
+    assert {r["d"] for r in got.collect()} == {"<doc:2>"}
+
+
+def test_prefix_expansion_and_comments():
+    q = parse_sparql(
+        """
+        # find engines
+        PREFIX ex: <http://example.org/>
+        SELECT ?x WHERE { ?x a ex:Engine . }
+        """
+    )
+    assert q["where"]["patterns"] == [
+        ("?x", "rdf:type", "http://example.org/Engine")
+    ]
+
+
+def test_xsd_prefix_normalizes_to_short_form():
+    q = parse_sparql(
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?d WHERE { ?d kg:words ?n "
+        "FILTER(xsd:integer(?n) > 5) }"
+    )
+    assert q["where"]["filters"] == [("?n", ">", 5, "xsd:integer")]
+
+
+# ----------------------------------------------------------- paths
+
+
+def test_path_sequence_and_closure(g):
+    got = sparql_query(
+        g, "SELECT * WHERE { ?d kg:mentions/rdf:type/kg:sub* ?c }"
+    )
+    want = bgp_match(
+        g, [("?d", PathExpr(["kg:mentions", "rdf:type", "kg:sub*"]), "?c")]
+    )
+    assert rows(got) == rows(want)
+    classes = {r["c"] for r in got.collect() if r["d"] == "<doc:1>"}
+    assert classes == {"<kg:Engine>", "<kg:System>", "<kg:Thing>"}
+
+
+def test_path_inverse_and_alternation(g):
+    got = sparql_query(
+        g, "SELECT * WHERE { ?e ^kg:mentions ?d . }"
+    )
+    want = bgp_match(g, [("?d", "kg:mentions", "?e")])
+    assert {(r["d"], r["e"]) for r in got.collect()} == {
+        (r["d"], r["e"]) for r in want.collect()
+    }
+    got2 = sparql_query(
+        g, "SELECT * WHERE { ?d (kg:mentions|kg:source) ?x }"
+    )
+    want2 = bgp_match(g, [("?d", PathExpr(["kg:mentions|kg:source"]), "?x")])
+    assert rows(got2) == rows(want2)
+
+
+def test_path_grouped_quantifier_and_inverse_group():
+    q = parse_sparql("SELECT * WHERE { <e:x> (kg:a|^kg:b)* ?y }")
+    pred = q["where"]["patterns"][0][1]
+    assert isinstance(pred, PathExpr) and pred.steps == ["kg:a|^kg:b*"]
+    q2 = parse_sparql("SELECT * WHERE { ?x ^(kg:a/kg:b) ?y }")
+    pred2 = q2["where"]["patterns"][0][1]
+    assert pred2.steps == ["^kg:b", "^kg:a"]
+    q3 = parse_sparql("SELECT * WHERE { ?x kg:a? ?y }")
+    assert q3["where"]["patterns"][0][1].steps == ["kg:a{0,1}"]
+    q4 = parse_sparql("SELECT * WHERE { ?x !(kg:a|kg:b)+ ?y }")
+    assert q4["where"]["patterns"][0][1].steps == ["!kg:a|kg:b+"]
+
+
+def test_path_closure_matches_property_path(g):
+    got = sparql_query(
+        g, "SELECT * WHERE { kg:Engine kg:sub+ ?c }"
+    )
+    want = property_path(g, ["kg:sub+"], start="kg:Engine").select(
+        "dst"
+    )
+    assert sorted(r["c"] for r in got.collect()) == sorted(
+        r["dst"] for r in want.collect()
+    )
+
+
+def test_unsupported_path_shapes():
+    with pytest.raises(SparqlParseError, match="sequence"):
+        parse_sparql("SELECT * WHERE { ?x (kg:a/kg:b)* ?y }")
+    with pytest.raises(SparqlParseError, match="quantifiers"):
+        parse_sparql("SELECT * WHERE { ?x kg:a*|kg:b ?y }")
+    with pytest.raises(SparqlParseError, match="inverse"):
+        parse_sparql("SELECT * WHERE { ?x !(^kg:a) ?y }")
+
+
+# ------------------------------------------------- aggregation etc.
+
+
+def test_group_by_count_having_order(g):
+    text = """
+    SELECT ?d (COUNT(*) AS ?n) WHERE { ?d kg:mentions ?e }
+    GROUP BY ?d HAVING (?n >= 2) ORDER BY DESC(?n) LIMIT 5
+    """
+    got = sparql_query(g, text)
+    want = bgp_select(
+        g,
+        [("?d", "kg:mentions", "?e")],
+        group_by=["?d"],
+        aggregates={"n": ("count", "*")},
+        having=[("n", ">=", 2)],
+        order_by=[("n", "desc")],
+        limit=5,
+    )
+    assert got.columns == ["d", "n"]
+    assert rows(got) == rows(want)
+    assert rows(got) == [("<doc:2>", 2)]
+
+
+def test_having_matches_aggregate_expression(g):
+    got = sparql_query(
+        g,
+        "SELECT ?d (COUNT(*) AS ?n) WHERE { ?d kg:mentions ?e } "
+        "GROUP BY ?d HAVING (COUNT(*) >= 2)",
+    )
+    assert rows(got) == [("<doc:2>", 2)]
+
+
+def test_typed_sum_requires_cast(g):
+    got = sparql_query(
+        g,
+        "SELECT (SUM(xsd:integer(?n)) AS ?total) "
+        "WHERE { ?d kg:words ?n }",
+    )
+    assert rows(got) == [(420,)]
+    with pytest.raises(SparqlParseError, match="cast"):
+        parse_sparql("SELECT (SUM(?n) AS ?t) WHERE { ?d kg:words ?n }")
+
+
+def test_count_distinct_and_group_concat(g):
+    got = sparql_query(
+        g,
+        "SELECT (COUNT(DISTINCT ?e) AS ?k) "
+        '(GROUP_CONCAT(?d; SEPARATOR=",") AS ?ds) '
+        "WHERE { ?d kg:mentions ?e . ?d kg:source ?s }",
+    )
+    r = got.collect()[0]
+    assert r["k"] == 2
+    assert r["ds"] == "<doc:1>,<doc:2>,<doc:2>"
+
+
+def test_order_by_typed_plain_select(g):
+    got = sparql_query(
+        g,
+        "SELECT ?d WHERE { ?d kg:words ?n } "
+        "ORDER BY DESC(xsd:integer(?n)) LIMIT 2",
+    )
+    assert [r["d"] for r in got.collect()] == ["<doc:3>", "<doc:1>"]
+
+
+def test_projected_var_must_be_grouped(g):
+    with pytest.raises(SparqlParseError, match="GROUP BY"):
+        sparql_query(
+            g,
+            "SELECT ?e (COUNT(*) AS ?n) WHERE { ?d kg:mentions ?e } "
+            "GROUP BY ?d",
+        )
+
+
+# ------------------------------------------------------------ UNION
+
+
+def test_union(g):
+    text = """
+    SELECT * WHERE {
+      { ?d kg:source src:web } UNION { ?d kg:mentions e:duck }
+    }"""
+    got = sparql_query(g, text)
+    want = bgp_union(
+        g,
+        [
+            {"patterns": [("?d", "kg:source", "src:web")]},
+            {"patterns": [("?d", "kg:mentions", "e:duck")]},
+        ],
+    )
+    assert rows(got) == rows(want)
+    assert {r["d"] for r in got.collect()} == {
+        "<doc:1>", "<doc:2>", "<doc:3>",
+    }
+
+
+def test_union_with_projection_and_arm_filters(g):
+    text = """
+    SELECT DISTINCT ?d WHERE {
+      { ?d kg:words ?n FILTER(xsd:integer(?n) > 200) }
+      UNION
+      { ?d kg:source src:web }
+    }"""
+    got = sparql_query(g, text)
+    assert {r["d"] for r in got.collect()} == {"<doc:1>", "<doc:3>"}
+    assert got.columns == ["d"]
+
+
+def test_union_aggregation_refused(g):
+    with pytest.raises(SparqlParseError, match="UNION"):
+        sparql_query(
+            g,
+            "SELECT (COUNT(*) AS ?n) WHERE "
+            "{ { ?d kg:source src:web } UNION { ?d kg:mentions ?e } }",
+        )
+
+
+# -------------------------------------------- ASK/CONSTRUCT/DESCRIBE
+
+
+def test_ask(g):
+    assert sparql_query(g, "ASK { doc:1 kg:mentions e:spark }") is True
+    assert sparql_query(g, "ASK { doc:3 kg:source ?s }") is False
+    assert (
+        sparql_query(
+            g,
+            "ASK { { doc:3 kg:source ?s } UNION "
+            "{ doc:3 kg:mentions ?e } }",
+        )
+        is True
+    )
+
+
+def test_construct(g):
+    text = """
+    CONSTRUCT { ?e kg:mentionedBy ?d }
+    WHERE { ?d kg:mentions ?e . ?d kg:source src:web }
+    """
+    got = sparql_query(g, text)
+    want = bgp_construct(
+        g,
+        [("?d", "kg:mentions", "?e"), ("?d", "kg:source", "src:web")],
+        [("?e", "kg:mentionedBy", "?d")],
+    )
+    assert rows(got.select(*sorted(got.columns))) == rows(
+        want.select(*sorted(want.columns))
+    )
+
+
+def test_construct_constant_object_literal(g):
+    got = sparql_query(
+        g,
+        'CONSTRUCT { ?d kg:flag "web"^^xsd:string } '
+        "WHERE { ?d kg:source src:web }",
+    )
+    r = got.collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["object_value"] == "web"
+    assert row["object_type"] == "xsd:string"
+
+
+def test_describe(g):
+    got = sparql_query(g, "DESCRIBE <e:spark>")
+    want = g.describe("e:spark")
+    assert rows(got) == rows(want)
+    assert len(rows(got)) > 0
+
+
+# ------------------------------------------------------------ errors
+
+
+def test_unsupported_constructs_named(g):
+    cases = [
+        ("SELECT * WHERE { BIND(1 AS ?x) }", "BIND"),
+        ("SELECT * WHERE { ?s ?p ?o . { SELECT * WHERE { ?a ?b ?c } } }",
+         "triples with nested"),
+        ("SELECT * WHERE { ?d kg:m ?e FILTER EXISTS { ?d kg:s ?x } }",
+         "EXISTS"),
+        ("SELECT * WHERE { ?s ?p ?o } OFFSET 5", "OFFSET"),
+        ("BASE <http://x/> SELECT * WHERE { ?s ?p ?o }", "BASE"),
+        ("SELECT * WHERE { ?s ?p ?o } HAVING (?n > 1)", "HAVING"),
+    ]
+    for text, needle in cases:
+        with pytest.raises(SparqlParseError, match=needle):
+            sparql_query(g, text)
+
+
+def test_parse_errors_carry_position():
+    with pytest.raises(SparqlParseError, match="line 2"):
+        parse_sparql("SELECT *\nWHERE { ?s ?p }")
+
+
+def test_var_dollar_alias():
+    q = parse_sparql("SELECT $x WHERE { $x kg:a ?y }")
+    assert q["projection"] == ["x"]
+    assert q["where"]["patterns"] == [("?x", "kg:a", "?y")]
+
+
+def test_values_undef_and_literals():
+    q = parse_sparql(
+        'SELECT * WHERE { ?d kg:words ?n VALUES ?n { "80"^^xsd:integer } }'
+    )
+    assert q["where"]["values"] == {"?n": ['"80"^^<xsd:integer>']}
+
+
+def test_bnode_object_term():
+    q = parse_sparql("SELECT * WHERE { ?s kg:ref _:b0 }")
+    obj = q["where"]["patterns"][0][2]
+    assert obj == Obj(S.KIND_BNODE, "b0")

@@ -11,6 +11,11 @@ from triplestore_spark.operators.bgp import (
     strip_node_key,
 )
 from triplestore_spark.operators.graph import RDFGraph, TripleSource
+from triplestore_spark.operators.sparql import (
+    SparqlParseError,
+    parse_sparql,
+    sparql_query,
+)
 
 __all__ = [
     "PathExpr",
@@ -25,4 +30,7 @@ __all__ = [
     "parse_node_key",
     "property_path",
     "strip_node_key",
+    "SparqlParseError",
+    "parse_sparql",
+    "sparql_query",
 ]

@@ -135,6 +135,19 @@ class RDFGraph:
             return bgp_select(self, patterns, **kwargs)
         return bgp_match(self, patterns, **kwargs)
 
+    def sparql(self, text: str):
+        """SPARQL text front door (operators.sparql): parse a
+        practical SPARQL 1.1 subset — SELECT (with DISTINCT,
+        aggregation, GROUP BY/HAVING/ORDER BY/LIMIT), ASK, CONSTRUCT,
+        DESCRIBE; property paths incl. Kleene closure; OPTIONAL,
+        MINUS / FILTER NOT EXISTS, typed FILTER comparisons, regex,
+        VALUES, UNION — and execute it through query()/ask()/
+        construct()/describe()'s machinery. Returns a DataFrame
+        (bool for ASK)."""
+        from triplestore_spark.operators.sparql import sparql_query
+
+        return sparql_query(self, text)
+
     def ask(self, patterns, **kwargs) -> bool:
         """SPARQL-ASK front door: does at least one solution exist?
         Evaluates the full query() pattern surface in bag mode with a

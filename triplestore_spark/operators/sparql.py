@@ -1,0 +1,1150 @@
+"""SPARQL text front door: parse a practical SPARQL 1.1 subset and
+execute it on the existing BGP machinery.
+
+The reference library is queried programmatically (source.go's
+WithX lookups); this repo already generalizes that surface to
+conjunctive BGPs, property paths, OPTIONAL/NOT-EXISTS, FILTER,
+VALUES, UNION, aggregation, and CONSTRUCT/ASK/DESCRIBE — but only as
+Python calls. KG users write SPARQL text. `sparql_query(graph, text)`
+compiles the text onto those operators, so every clause executes
+through the same plans (layout routing, filter pushdown, frontier
+closure) the programmatic API is plan-tested and driver-oracled for.
+The parser adds NO new execution semantics: each construct maps 1:1
+to a bgp_match / bgp_select / bgp_union / bgp_construct argument, and
+anything outside the engine's (deliberately scale-safe) surface is
+refused with a clear error instead of silently approximated.
+
+Supported grammar (case-insensitive keywords)::
+
+    PREFIX pfx: <iri>                      -- any number
+    SELECT [DISTINCT] (* | ?v ... | (AGG AS ?alias) ...)
+        WHERE { group } [GROUP BY ?v ...] [HAVING (cond) ...]
+        [ORDER BY cond ...] [LIMIT n]
+    ASK { group }
+    CONSTRUCT { triples } WHERE { group }
+    DESCRIBE <node>
+
+    group    := triples and any of:
+                  OPTIONAL { triples }
+                  MINUS { triples } | FILTER NOT EXISTS { triples }
+                  FILTER ( constraint ) | FILTER regex(?v, "re")
+                  VALUES ?v { terms } | VALUES (?a ?b) { (t t) ... }
+                or  { group } UNION { group } [UNION ...]
+    triples  := s p o [, o ...] [; p o ...] .  with property paths
+                in the predicate position: p1/p2, ^p, p1|p2, p*, p+,
+                p?, p{m,n}, !(p1|p2), (p1|p2)*, a  (rdf:type)
+    constraint := operand op operand where one operand is ?v or
+                xsd:T(?v), the other a literal; op in
+                < <= > >= = != ; regex(?v, "re")
+    AGG      := COUNT(*) | COUNT([DISTINCT] ?v) | SAMPLE(?v) |
+                GROUP_CONCAT(?v [; SEPARATOR="s"]) |
+                SUM|AVG|MIN|MAX(xsd:T(?v))   (the cast names the
+                decode type — ordering/adding lexical forms of
+                unknown datatypes is a silent wrong answer, so the
+                typed aggregates REQUIRE it, same as the Python API)
+
+Deliberate subset boundaries (each raises SparqlParseError naming
+the construct): subqueries, EXISTS as a positive filter, BIND,
+OFFSET, property paths that don't factor into the engine's
+sequence-of-(alternation+quantifier) steps (e.g. (p1/p2)* — closure
+over a sequence), FILTER inside OPTIONAL, mixing triples with UNION
+blocks in one group, and aggregation over UNION. Prefixed names with
+an UNDECLARED prefix pass through verbatim — this repo's graphs
+store compact IRIs ('kg:mentions', 'rdf:type') literally, so
+undeclared prefixes are how queries address them; `a` maps to the
+token 'rdf:type' and expands through the same rule iff 'rdf:' is
+declared. REDUCED is treated as DISTINCT (the spec allows any amount
+of duplicate elimination). MINUS compiles to the engine's anti-join
+(NOT EXISTS semantics); the spec's MINUS differs only for groups
+sharing NO variables, which the engine refuses anyway.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from triplestore_spark import schema as S
+from triplestore_spark.dsl import Obj
+from triplestore_spark.operators.bgp import PathExpr
+
+__all__ = ["SparqlParseError", "parse_sparql", "sparql_query"]
+
+
+class SparqlParseError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------ tokens
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"
+      (?:@[A-Za-z0-9-]+|\^\^(?:<[^<>]*>|[A-Za-z_][\w.:-]*))?)
+  | (?P<IRI><[^<>\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<NUM>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
+  | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_-]*)
+  | (?P<WORD>[A-Za-z_][A-Za-z0-9_\-]*
+      (?::[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)?)
+  | (?P<OP>>=|<=|!=|[{}()\[\],;.=<>!^/|*+?:])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "PREFIX", "BASE", "SELECT", "ASK", "CONSTRUCT", "DESCRIBE",
+    "WHERE", "DISTINCT", "REDUCED", "OPTIONAL", "FILTER", "MINUS",
+    "VALUES", "UNION", "GROUP", "BY", "HAVING", "ORDER", "ASC",
+    "DESC", "LIMIT", "OFFSET", "NOT", "EXISTS", "AS", "UNDEF",
+    "BIND", "REGEX", "SEPARATOR",
+}
+
+_AGG_FUNCS = {
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
+}
+
+_RDF_TYPE = "rdf:type"
+
+
+def _tokenize(text: str) -> list[tuple[str, str, int]]:
+    toks: list[tuple[str, str, int]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlParseError(
+                f"sparql: cannot tokenize at offset {pos}: "
+                f"{text[pos:pos + 20]!r}"
+            )
+        kind = m.lastgroup
+        if kind != "WS":
+            toks.append((kind, m.group(), pos))
+        pos = m.end()
+    toks.append(("EOF", "", len(text)))
+    return toks
+
+
+# ------------------------------------------------------------ parser
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token cursor ------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> tuple[str, str, int]:
+        j = min(self.i + ahead, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> tuple[str, str, int]:
+        t = self.toks[self.i]
+        if t[0] != "EOF":
+            self.i += 1
+        return t
+
+    def error(self, msg: str) -> SparqlParseError:
+        _, val, pos = self.peek()
+        line = self.text.count("\n", 0, pos) + 1
+        return SparqlParseError(
+            f"sparql: {msg} (line {line}, near {val!r})"
+        )
+
+    def at_word(self, *kws: str) -> bool:
+        k, v, _ = self.peek()
+        return k == "WORD" and v.upper() in kws
+
+    def take_word(self, *kws: str) -> bool:
+        if self.at_word(*kws):
+            self.next()
+            return True
+        return False
+
+    def expect_word(self, kw: str) -> None:
+        if not self.take_word(kw):
+            raise self.error(f"expected {kw}")
+
+    def at_op(self, op: str) -> bool:
+        k, v, _ = self.peek()
+        return k == "OP" and v == op
+
+    def take_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.take_op(op):
+            raise self.error(f"expected {op!r}")
+
+    # -- prologue ----------------------------------------------------
+
+    def parse(self) -> dict:
+        while True:
+            if self.take_word("PREFIX"):
+                if self.at_op(":"):
+                    raise self.error(
+                        "the default prefix (PREFIX : <iri>) is not "
+                        "supported — name it"
+                    )
+                k, v, _ = self.next()
+                if k != "WORD" or ":" in v:
+                    raise self.error("expected prefix name")
+                name = v
+                self.expect_op(":")
+                ik, iv, _ = self.next()
+                if ik != "IRI":
+                    raise self.error("expected <iri> in PREFIX")
+                self.prefixes[name] = iv[1:-1]
+            elif self.at_word("BASE"):
+                raise self.error("BASE is not supported")
+            else:
+                break
+        if self.take_word("SELECT"):
+            out = self._parse_select()
+        elif self.take_word("ASK"):
+            out = {"form": "ask", "where": self._parse_group()}
+        elif self.take_word("CONSTRUCT"):
+            out = self._parse_construct()
+        elif self.take_word("DESCRIBE"):
+            node = self._parse_term("subject")
+            if not isinstance(node, str) or node.startswith("?"):
+                raise self.error("DESCRIBE takes a constant IRI")
+            out = {"form": "describe", "node": node}
+        else:
+            raise self.error("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
+        if not self.take_word("OFFSET"):
+            if self.peek()[0] != "EOF":
+                raise self.error("unexpected trailing input")
+            return out
+        raise self.error("OFFSET is not supported")
+
+    # -- SELECT ------------------------------------------------------
+
+    def _parse_select(self) -> dict:
+        distinct = bool(self.take_word("DISTINCT", "REDUCED"))
+        star = False
+        proj: list[str] = []
+        aggregates: dict[str, tuple] = {}
+        if self.take_op("*"):
+            star = True
+        else:
+            while True:
+                k, v, _ = self.peek()
+                if k == "VAR":
+                    self.next()
+                    proj.append(v[1:])
+                elif k == "OP" and v == "(":
+                    self.next()
+                    spec = self._parse_aggregate()
+                    self.expect_word("AS")
+                    ak, av, _ = self.next()
+                    if ak != "VAR":
+                        raise self.error("expected ?alias after AS")
+                    self.expect_op(")")
+                    alias = av[1:]
+                    aggregates[alias] = spec
+                    proj.append(alias)
+                else:
+                    break
+            if not proj:
+                raise self.error("empty SELECT projection")
+        self.take_word("WHERE")
+        where = self._parse_group()
+        group_by: list[str] = []
+        having: list[tuple] = []
+        order_by: list[tuple] = []
+        limit = None
+        if self.take_word("GROUP"):
+            self.expect_word("BY")
+            while self.peek()[0] == "VAR":
+                group_by.append(self.next()[1][1:])
+            if not group_by:
+                raise self.error("empty GROUP BY")
+        while self.take_word("HAVING"):
+            self.expect_op("(")
+            having.append(self._parse_having(aggregates))
+            self.expect_op(")")
+        if self.take_word("ORDER"):
+            self.expect_word("BY")
+            while True:
+                cond = self._parse_order_cond()
+                if cond is None:
+                    break
+                order_by.append(cond)
+            if not order_by:
+                raise self.error("empty ORDER BY")
+        if self.take_word("LIMIT"):
+            k, v, _ = self.next()
+            if k != "NUM" or not v.isdigit():
+                raise self.error("LIMIT takes a non-negative integer")
+            limit = int(v)
+        return {
+            "form": "select",
+            "distinct": distinct,
+            "star": star,
+            "projection": None if star else proj,
+            "aggregates": aggregates,
+            "group_by": group_by,
+            "having": having,
+            "order_by": order_by,
+            "limit": limit,
+            "where": where,
+        }
+
+    def _parse_cast_var(self) -> tuple[str, str]:
+        """xsd:T(?v) -> (var, type token). The cast token expands
+        through the prefix map like any pname."""
+        k, v, _ = self.next()
+        if k not in ("WORD", "IRI"):
+            raise self.error("expected a datatype cast like xsd:integer(?v)")
+        typ = self._expand(v[1:-1]) if k == "IRI" else self._expand(v)
+        self.expect_op("(")
+        vk, vv, _ = self.next()
+        if vk != "VAR":
+            raise self.error("expected ?var inside the cast")
+        self.expect_op(")")
+        return vv[1:], typ
+
+    def _parse_aggregate(self) -> tuple:
+        k, v, _ = self.next()
+        fn = v.upper() if k == "WORD" else ""
+        if fn not in _AGG_FUNCS:
+            raise self.error(
+                "expected an aggregate (COUNT/SUM/AVG/MIN/MAX/"
+                "SAMPLE/GROUP_CONCAT)"
+            )
+        self.expect_op("(")
+        if fn == "COUNT":
+            if self.take_op("*"):
+                self.expect_op(")")
+                return ("count", "*")
+            if self.take_word("DISTINCT"):
+                vk, vv, _ = self.next()
+                if vk != "VAR":
+                    raise self.error("expected ?var in COUNT(DISTINCT ...)")
+                self.expect_op(")")
+                return ("count_distinct", "?" + vv[1:])
+            vk, vv, _ = self.next()
+            if vk != "VAR":
+                raise self.error("expected ?var in COUNT(...)")
+            self.expect_op(")")
+            return ("count", "?" + vv[1:])
+        if fn == "SAMPLE":
+            vk, vv, _ = self.next()
+            if vk != "VAR":
+                raise self.error("expected ?var in SAMPLE(...)")
+            self.expect_op(")")
+            return ("sample", "?" + vv[1:])
+        if fn == "GROUP_CONCAT":
+            vk, vv, _ = self.next()
+            if vk != "VAR":
+                raise self.error("expected ?var in GROUP_CONCAT(...)")
+            sep = None
+            if self.take_op(";"):
+                self.expect_word("SEPARATOR")
+                self.expect_op("=")
+                sk, sv, _ = self.next()
+                if sk != "STRING":
+                    raise self.error("SEPARATOR takes a string")
+                sep = _unquote(sv)[0]
+            self.expect_op(")")
+            if sep is None:
+                return ("group_concat", "?" + vv[1:])
+            return ("group_concat", "?" + vv[1:], sep)
+        # SUM/AVG/MIN/MAX: REQUIRE the cast form naming the decode type
+        k2, v2, _ = self.peek()
+        if k2 == "VAR":
+            raise self.error(
+                f"{fn}(?v) needs a datatype cast — write "
+                f"{fn}(xsd:integer(?v)) so the engine knows how to "
+                "decode the literal (the bare form would order/add "
+                "lexical strings)"
+            )
+        var, typ = self._parse_cast_var()
+        self.expect_op(")")
+        return (fn.lower(), "?" + var, typ)
+
+    def _parse_having(self, aggregates: dict[str, tuple]) -> tuple:
+        k, v, _ = self.peek()
+        if k == "VAR":
+            self.next()
+            alias = v[1:]
+        else:
+            spec = self._parse_aggregate()
+            matches = [a for a, s in aggregates.items() if s == spec]
+            if not matches:
+                raise self.error(
+                    "HAVING aggregate must match a projected "
+                    "(AGG AS ?alias) expression"
+                )
+            alias = matches[0]
+        op = self._parse_comparator()
+        val = self._parse_filter_constant()
+        return (alias, op, val[0])
+
+    def _parse_order_cond(self):
+        if self.take_word("ASC"):
+            direction = "asc"
+        elif self.take_word("DESC"):
+            direction = "desc"
+        else:
+            k, v, _ = self.peek()
+            if k == "VAR":
+                self.next()
+                return (v[1:], "asc", None)
+            if (
+                k == "WORD"
+                and v.upper() not in _KEYWORDS
+                and self.peek(1)[0] == "OP"
+                and self.peek(1)[1] == "("
+            ):
+                var, typ = self._parse_cast_var()
+                return (var, "asc", typ)
+            return None
+        self.expect_op("(")
+        k, v, _ = self.peek()
+        if k == "VAR":
+            self.next()
+            cond = (v[1:], direction, None)
+        else:
+            var, typ = self._parse_cast_var()
+            cond = (var, direction, typ)
+        self.expect_op(")")
+        return cond
+
+    # -- CONSTRUCT ---------------------------------------------------
+
+    def _parse_construct(self) -> dict:
+        self.expect_op("{")
+        template: list[tuple] = []
+        while not self.at_op("}"):
+            template.extend(self._parse_triples_same_subject(paths=False))
+            if not self.take_op("."):
+                break
+        self.expect_op("}")
+        if not template:
+            raise self.error("empty CONSTRUCT template")
+        self.take_word("WHERE")
+        return {
+            "form": "construct",
+            "template": template,
+            "where": self._parse_group(),
+        }
+
+    # -- WHERE group -------------------------------------------------
+
+    def _parse_group(self) -> dict:
+        self.expect_op("{")
+        if self.at_op("{"):
+            # either a lone nested group or a UNION chain of groups
+            arms = [self._parse_group()]
+            while self.take_word("UNION"):
+                arms.append(self._parse_group())
+            self.expect_op("}")
+            if len(arms) == 1:
+                return arms[0]
+            for a in arms:
+                if "union" in a:
+                    raise self.error("nested UNION chains are not supported")
+            return {"union": arms}
+        g: dict = {
+            "patterns": [],
+            "optional": [],
+            "anti": [],
+            "filters": [],
+            "values": None,
+        }
+        while not self.at_op("}"):
+            if self.take_word("OPTIONAL"):
+                sub = self._parse_group()
+                if "union" in sub or sub["optional"] or sub["anti"] \
+                        or sub["filters"] or sub["values"] is not None:
+                    raise self.error(
+                        "OPTIONAL groups support plain triple "
+                        "patterns only"
+                    )
+                g["optional"].append(sub["patterns"])
+            elif self.take_word("MINUS"):
+                g["anti"].append(self._parse_plain_subgroup("MINUS"))
+            elif self.take_word("FILTER"):
+                self._parse_filter_into(g)
+            elif self.take_word("VALUES"):
+                if g["values"] is not None:
+                    raise self.error(
+                        "one VALUES clause per group (the engine "
+                        "takes a single inline-binding table)"
+                    )
+                g["values"] = self._parse_values()
+            elif self.take_word("BIND"):
+                raise self.error("BIND is not supported")
+            elif self.at_word("SELECT"):
+                raise self.error("subqueries are not supported")
+            elif self.at_op("{"):
+                raise self.error(
+                    "a group mixing triples with nested {...} blocks "
+                    "is not supported (use a pure UNION group)"
+                )
+            else:
+                g["patterns"].extend(self._parse_triples_same_subject())
+                if not self.take_op("."):
+                    if not (
+                        self.at_op("}")
+                        or self.at_word(
+                            "OPTIONAL", "MINUS", "FILTER", "VALUES", "BIND"
+                        )
+                    ):
+                        raise self.error("expected '.' between patterns")
+        self.expect_op("}")
+        return g
+
+    def _parse_plain_subgroup(self, what: str) -> list:
+        sub = self._parse_group()
+        if "union" in sub or sub["optional"] or sub["anti"] \
+                or sub["filters"] or sub["values"] is not None:
+            raise self.error(
+                f"{what} groups support plain triple patterns only"
+            )
+        return sub["patterns"]
+
+    def _parse_filter_into(self, g: dict) -> None:
+        if self.take_word("NOT"):
+            self.expect_word("EXISTS")
+            g["anti"].append(self._parse_plain_subgroup("FILTER NOT EXISTS"))
+            return
+        if self.at_word("EXISTS"):
+            raise self.error(
+                "positive FILTER EXISTS is not supported (it is a "
+                "semi-join the engine doesn't expose; NOT EXISTS and "
+                "plain patterns are)"
+            )
+        if self.at_word("REGEX"):
+            g["filters"].append(self._parse_regex())
+            return
+        self.expect_op("(")
+        if self.at_word("REGEX"):
+            g["filters"].append(self._parse_regex())
+            self.expect_op(")")
+            return
+        g["filters"].append(self._parse_comparison())
+        self.expect_op(")")
+
+    def _parse_regex(self) -> tuple:
+        self.expect_word("REGEX")
+        self.expect_op("(")
+        vk, vv, _ = self.next()
+        if vk != "VAR":
+            raise self.error("regex() takes (?var, \"pattern\")")
+        self.expect_op(",")
+        sk, sv, _ = self.next()
+        if sk != "STRING":
+            raise self.error("regex() pattern must be a string literal")
+        self.expect_op(")")
+        return ("?" + vv[1:], "regex", _unquote(sv)[0])
+
+    _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!="}
+
+    def _parse_comparator(self) -> str:
+        k, v, _ = self.next()
+        if k == "OP" and v in ("<", "<=", ">", ">=", "=", "!="):
+            return v
+        raise self.error("expected a comparison operator")
+
+    def _parse_comparison(self) -> tuple:
+        left = self._parse_filter_operand()
+        op = self._parse_comparator()
+        right = self._parse_filter_operand()
+        if left[0] == "var" and right[0] == "var":
+            raise self.error("FILTER comparing two variables is not supported")
+        if right[0] == "var":  # const OP var -> flip
+            left, right, op = right, left, self._FLIP[op]
+        if left[0] != "var":
+            raise self.error("FILTER needs a variable on one side")
+        _, var, cast_typ = left
+        _, value, lit_typ = right
+        typ = cast_typ or lit_typ
+        if typ is not None:
+            return ("?" + var, op, value, typ)
+        return ("?" + var, op, value)
+
+    def _parse_filter_operand(self) -> tuple:
+        """-> ('var', name, cast_type|None) for a variable side, or
+        ('const', python value, xsd type|None) for a constant side."""
+        k, v, _ = self.peek()
+        if k == "VAR":
+            self.next()
+            return ("var", v[1:], None)
+        if k == "WORD" and v.upper() not in _KEYWORDS \
+                and self.peek(1)[0] == "OP" and self.peek(1)[1] == "(":
+            var, typ = self._parse_cast_var()
+            return ("var", var, typ)
+        value, typ = self._parse_filter_constant()
+        return ("const", value, typ)
+
+    def _parse_filter_constant(self) -> tuple:
+        k, v, _ = self.next()
+        if k == "NUM":
+            if re.fullmatch(r"[+-]?\d+", v):
+                return (int(v), S.XSD_INTEGER)
+            return (float(v), S.XSD_DOUBLE)
+        if k == "WORD" and v.upper() in ("TRUE", "FALSE"):
+            return (v.upper() == "TRUE", S.XSD_BOOLEAN)
+        if k == "STRING":
+            value, lang, typ = _unquote(v)
+            if lang:
+                raise self.error(
+                    "lang-tagged literals can't be FILTER comparands "
+                    "(compare the variable with = against the full "
+                    "key via VALUES instead)"
+                )
+            if typ is None:
+                return (value, None)
+            typ = self._expand(typ)
+            caster = _PY_CASTS.get(typ)
+            if caster is None:
+                return (value, typ)
+            return (caster(value), typ)
+        raise self.error("expected a literal FILTER comparand")
+
+    # -- VALUES ------------------------------------------------------
+
+    def _parse_values(self):
+        k, v, _ = self.peek()
+        if k == "VAR":
+            self.next()
+            var = "?" + v[1:]
+            self.expect_op("{")
+            vals = []
+            while not self.at_op("}"):
+                vals.append(self._parse_values_term())
+            self.expect_op("}")
+            if not vals:
+                raise self.error("empty VALUES block")
+            return {var: vals}
+        self.expect_op("(")
+        names = []
+        while self.peek()[0] == "VAR":
+            names.append("?" + self.next()[1][1:])
+        self.expect_op(")")
+        if not names:
+            raise self.error("empty VALUES variable list")
+        self.expect_op("{")
+        rows = []
+        while self.take_op("("):
+            row = []
+            while not self.at_op(")"):
+                row.append(self._parse_values_term())
+            self.expect_op(")")
+            rows.append(tuple(row))
+        self.expect_op("}")
+        if not rows:
+            raise self.error("empty VALUES block")
+        return (names, rows)
+
+    def _parse_values_term(self):
+        if self.take_word("UNDEF"):
+            return None
+        t = self._parse_term("object")
+        if isinstance(t, str):
+            if t.startswith("?"):
+                raise self.error("VALUES terms must be constants")
+            return f"<{t}>"
+        return t.okey()
+
+    # -- triples -----------------------------------------------------
+
+    def _parse_triples_same_subject(self, paths: bool = True) -> list:
+        subj = self._parse_term("subject")
+        out = []
+        while True:
+            pred = self._parse_predicate() if paths \
+                else self._parse_term("predicate")
+            while True:
+                obj = self._parse_term("object")
+                out.append((subj, pred, obj))
+                if not self.take_op(","):
+                    break
+            if not self.take_op(";"):
+                break
+            if self.at_op(".") or self.at_op("}"):
+                break  # tolerate a trailing ';'
+        return out
+
+    def _parse_term(self, position: str):
+        k, v, _ = self.next()
+        if k == "VAR":
+            return "?" + v[1:]
+        if k == "IRI":
+            return self._expand(v[1:-1])
+        if k == "WORD":
+            if v == "a":
+                return self._expand(_RDF_TYPE)
+            if v.upper() in _KEYWORDS:
+                raise self.error(f"unexpected keyword {v} in {position}")
+            return self._expand(v)
+        if position != "object":
+            raise self.error(
+                f"{position} must be an IRI or variable, got {v!r}"
+            )
+        if k == "BNODE":
+            return Obj(S.KIND_BNODE, v[2:])
+        if k == "STRING":
+            value, lang, typ = _unquote(v)
+            if lang:
+                return Obj(S.KIND_LITERAL, value, "", lang)
+            if typ is None:
+                return Obj(S.KIND_LITERAL, value, S.XSD_STRING)
+            return Obj(S.KIND_LITERAL, value, self._expand(typ))
+        if k == "NUM":
+            if re.fullmatch(r"[+-]?\d+", v):
+                return Obj(S.KIND_LITERAL, v, S.XSD_INTEGER)
+            return Obj(S.KIND_LITERAL, v, S.XSD_DOUBLE)
+        raise self.error(f"bad object term {v!r}")
+
+    def _expand(self, token: str) -> str:
+        """Prefix expansion: 'pfx:local' with a DECLARED pfx expands;
+        anything else passes through verbatim (compact-IRI graphs).
+        Expanded XMLSchema datatype IRIs normalize back to the repo's
+        canonical short form ('xsd:integer') so a query that declares
+        the xsd prefix still hits the typed-decode machinery."""
+        if ":" in token:
+            pfx, local = token.split(":", 1)
+            base = self.prefixes.get(pfx)
+            if base is not None:
+                token = base + local
+        ns = S.XML_SCHEMA_NAMESPACE + "#"
+        if token.startswith(ns):
+            return "xsd:" + token[len(ns):]
+        return token
+
+    # -- property paths ----------------------------------------------
+
+    def _parse_predicate(self):
+        k, v, _ = self.peek()
+        if k == "VAR":
+            self.next()
+            return "?" + v[1:]
+        ast = self._parse_path_alt()
+        steps = _compile_path(ast, self.error)
+        if (
+            len(steps) == 1
+            and re.fullmatch(r"[^\s!^|*+{]+", steps[0])
+            and ("/" not in steps[0] or "://" in steps[0])
+        ):
+            return steps[0]  # plain predicate: best-layout routing
+        return PathExpr(steps)
+
+    def _parse_path_alt(self):
+        branches = [self._parse_path_seq()]
+        while self.take_op("|"):
+            branches.append(self._parse_path_seq())
+        return branches[0] if len(branches) == 1 else ("alt", branches)
+
+    def _parse_path_seq(self):
+        elts = [self._parse_path_elt()]
+        while self.take_op("/"):
+            elts.append(self._parse_path_elt())
+        return elts[0] if len(elts) == 1 else ("seq", elts)
+
+    def _parse_path_elt(self):
+        inv = self.take_op("^")
+        node = self._parse_path_primary()
+        quant = self._parse_path_quant()
+        if quant is not None:
+            node = ("quant", node, *quant)
+        return ("inv", node) if inv else node
+
+    def _parse_path_primary(self):
+        k, v, _ = self.peek()
+        if self.take_op("!"):
+            if self.take_op("("):
+                preds = []
+                while True:
+                    preds.append(self._parse_neg_pred())
+                    if not self.take_op("|"):
+                        break
+                self.expect_op(")")
+            else:
+                preds = [self._parse_neg_pred()]
+            return ("neg", preds)
+        if self.take_op("("):
+            inner = self._parse_path_alt()
+            self.expect_op(")")
+            return inner
+        if k == "IRI":
+            self.next()
+            return ("iri", self._expand(v[1:-1]))
+        if k == "WORD":
+            if v == "a":
+                self.next()
+                return ("iri", self._expand(_RDF_TYPE))
+            if v.upper() in _KEYWORDS:
+                raise self.error(f"unexpected keyword {v} in path")
+            self.next()
+            return ("iri", self._expand(v))
+        raise self.error("expected a predicate IRI or path")
+
+    def _parse_neg_pred(self) -> str:
+        if self.at_op("^"):
+            raise self.error(
+                "inverse members inside a negated property set are "
+                "not supported (a complement scan can't be walked "
+                "backward — pin the start of the chain instead)"
+            )
+        k, v, _ = self.next()
+        if k == "IRI":
+            return self._expand(v[1:-1])
+        if k == "WORD" and v.upper() not in _KEYWORDS:
+            return self._expand(_RDF_TYPE if v == "a" else v)
+        raise self.error("negated property sets take constant IRIs")
+
+    def _parse_path_quant(self):
+        k, v, _ = self.peek()
+        if k == "OP" and v in ("*", "+", "?"):
+            self.next()
+            return {"*": (0, None), "+": (1, None), "?": (0, 1)}[v]
+        if k == "OP" and v == "{" and self.peek(1)[0] == "NUM":
+            self.next()
+            lo = int(self.next()[1])
+            hi: int | None = lo
+            if self.take_op(","):
+                if self.peek()[0] == "NUM":
+                    hi = int(self.next()[1])
+                else:
+                    hi = None
+            self.expect_op("}")
+            return (lo, hi)
+        return None
+
+
+# The engine quantifier suffix a compiled step may already carry.
+_STEP_QUANT_RE = re.compile(r"(?:\*|\+|\{\d+(?:,\d*)?\})$")
+
+
+def _quant_suffix(lo: int, hi: int | None) -> str:
+    if (lo, hi) == (0, None):
+        return "*"
+    if (lo, hi) == (1, None):
+        return "+"
+    if hi is None:
+        return f"{{{lo},}}"
+    if hi == lo:
+        return f"{{{lo}}}"
+    return f"{{{lo},{hi}}}"
+
+
+def _invert_step(step: str, err) -> str:
+    """^(step) for one compiled engine step: invert every alternative,
+    keep the quantifier — inverse distributes over closure and
+    alternation ( ^(p*) == (^p)* , ^(p|q) == ^p|^q )."""
+    m = _STEP_QUANT_RE.search(step)
+    base, quant = (step[: m.start()], m.group()) if m else (step, "")
+    alts = []
+    for a in base.split("|"):
+        if a.startswith("!"):
+            raise err(
+                "inverse of a negated property set is not supported"
+            )
+        alts.append(a[1:] if a.startswith("^") else "^" + a)
+    return "|".join(alts) + quant
+
+
+def _compile_path(node, err) -> list[str]:
+    """Path AST -> the engine's step list (property_path syntax):
+    each step is an alternation of (possibly inverse / negated)
+    predicates with one shared trailing quantifier. Shapes that don't
+    factor this way — closure over a multi-step sequence, alternation
+    of sequences, mixed negated/plain alternation — raise with the
+    construct named rather than approximating."""
+    kind = node[0]
+    if kind == "iri":
+        return [node[1]]
+    if kind == "neg":
+        return ["!" + "|".join(node[1])]
+    if kind == "seq":
+        return [s for elt in node[1] for s in _compile_path(elt, err)]
+    if kind == "alt":
+        parts: list[str] = []
+        for b in node[1]:
+            ss = _compile_path(b, err)
+            if len(ss) != 1:
+                raise err(
+                    "alternation of multi-step path sequences is not "
+                    "supported (factor the query as a UNION of path "
+                    "patterns)"
+                )
+            if _STEP_QUANT_RE.search(ss[0]):
+                raise err(
+                    "alternation branches with their own quantifiers "
+                    "(p*|q) are not supported — quantify the whole "
+                    "group: (p|q)*"
+                )
+            parts.extend(ss[0].split("|"))
+        neg = [p.startswith("!") for p in parts]
+        if any(neg):
+            raise err(
+                "alternation mixing negated property sets with plain "
+                "predicates is not supported"
+            )
+        return ["|".join(parts)]
+    if kind == "inv":
+        ss = _compile_path(node[1], err)
+        return [_invert_step(s, err) for s in reversed(ss)]
+    if kind == "quant":
+        _, child, lo, hi = node
+        ss = _compile_path(child, err)
+        if len(ss) != 1:
+            raise err(
+                "a quantifier over a multi-step sequence ((p/q)*) is "
+                "not supported — the engine closes over ONE edge set "
+                "per step"
+            )
+        if _STEP_QUANT_RE.search(ss[0]):
+            raise err("nested path quantifiers are not supported")
+        return [ss[0] + _quant_suffix(lo, hi)]
+    raise err(f"internal: unknown path node {kind!r}")
+
+
+# ------------------------------------------------------- literal utils
+
+_PY_CASTS = {
+    S.XSD_INTEGER: int,
+    S.XSD_BYTE: int,
+    S.XSD_SHORT: int,
+    S.XSD_UINTEGER: int,
+    S.XSD_UNSIGNED_BYTE: int,
+    S.XSD_UNSIGNED_SHORT: int,
+    S.XSD_DOUBLE: float,
+    S.XSD_FLOAT: float,
+    S.XSD_BOOLEAN: lambda s: s.strip().lower() in ("true", "1"),
+}
+
+
+def _unquote(tok: str) -> tuple[str, str | None, str | None]:
+    """STRING token -> (value, lang|None, type-token|None)."""
+    m = re.fullmatch(
+        r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(<[^<>]*>|\S+))?',
+        tok,
+        re.DOTALL,
+    )
+    if not m:
+        raise SparqlParseError(f"sparql: bad string literal {tok!r}")
+    value = (
+        m.group(1)
+        .replace('\\"', '"')
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\\\\", "\\")
+    )
+    typ = m.group(3)
+    if typ is not None and typ.startswith("<"):
+        typ = typ[1:-1]
+    return value, m.group(2), typ
+
+
+# ------------------------------------------------------------ execute
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse SPARQL text to the execution spec `sparql_query` runs.
+    Exposed for inspection/tests; the spec's fields mirror bgp_match /
+    bgp_select arguments directly."""
+    return _Parser(text).parse()
+
+
+def _match_kwargs(g: dict) -> dict:
+    kw: dict = {}
+    if g["optional"]:
+        kw["optional"] = g["optional"]
+    if g["anti"]:
+        kw["anti"] = g["anti"]
+    if g["filters"]:
+        kw["filters"] = g["filters"]
+    if g["values"] is not None:
+        kw["values"] = g["values"]
+    return kw
+
+
+def _apply_order_limit(df, order_by, limit):
+    from pyspark.sql import functions as F
+
+    from triplestore_spark.operators.bgp_agg import (
+        _norm_order,
+        _typed_binding,
+    )
+
+    if order_by:
+        cols = []
+        for o in order_by:
+            name, direction, typ = _norm_order(o)
+            missing = name not in df.columns
+            if missing:
+                raise SparqlParseError(
+                    f"sparql: ORDER BY variable ?{name} is not bound "
+                    "by the query"
+                )
+            c = _typed_binding(name, typ) if typ else F.col(name)
+            cols.append(c.asc() if direction == "asc" else c.desc())
+        df = df.orderBy(*cols)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def _ask_group(graph, g: dict) -> bool:
+    """One ASK arm. A group whose patterns are ALL constant is the
+    reference's Contains check (source.go's point lookup) — bgp_match
+    deliberately refuses it (nothing to join), so each pattern runs as
+    a direct limit-1 component-filter scan instead; any variable makes
+    it a normal limit-1 BGP."""
+    from pyspark.sql import functions as F
+
+    from triplestore_spark.operators.bgp import _as_obj, _is_var, bgp_match
+    from triplestore_spark.operators.graph import RDFGraph, object_predicate
+
+    kw = _match_kwargs(g)
+    has_var = any(
+        any(_is_var(t) for t in pat) for pat in g["patterns"]
+    )
+    if has_var or kw:
+        m = bgp_match(graph, g["patterns"], distinct=False, **kw)
+        return bool(m.limit(1).take(1))
+    df = graph.df if isinstance(graph, RDFGraph) else graph
+    for s, p, o in g["patterns"]:
+        scan = df.where(
+            (F.col("subject") == s)
+            & (F.col("predicate") == p)
+            & object_predicate(_as_obj(o))
+        )
+        if not scan.limit(1).take(1):
+            return False
+    return True
+
+
+def sparql_query(graph, text: str):
+    """Execute SPARQL text on an RDFGraph / triple DataFrame. SELECT,
+    CONSTRUCT, and DESCRIBE return a DataFrame; ASK returns a bool.
+    See the module docstring for the supported subset."""
+    from triplestore_spark.operators.bgp import bgp_construct, bgp_match
+    from triplestore_spark.operators.bgp_agg import bgp_select, bgp_union
+    from triplestore_spark.operators.graph import RDFGraph
+
+    q = parse_sparql(text)
+    form = q["form"]
+    if form == "describe":
+        g = graph if isinstance(graph, RDFGraph) else RDFGraph(graph)
+        return g.describe(q["node"])
+
+    where = q["where"]
+    arms = where.get("union")
+    if form == "ask":
+        groups = arms if arms else [where]
+        for g in groups:
+            if _ask_group(graph, g):
+                return True
+        return False
+
+    if form == "construct":
+        if arms:
+            raise SparqlParseError(
+                "sparql: CONSTRUCT over UNION is not supported — run "
+                "one CONSTRUCT per arm and add() the results"
+            )
+        return bgp_construct(
+            graph, where["patterns"], q["template"], **_match_kwargs(where)
+        )
+
+    # SELECT
+    aggregates = q["aggregates"]
+    group_by = q["group_by"]
+    if arms:
+        if aggregates or group_by:
+            raise SparqlParseError(
+                "sparql: aggregation over UNION is not supported — "
+                "aggregate each arm or union first via graph.union()"
+            )
+        union_arms = [
+            {"patterns": g["patterns"], **_match_kwargs(g)} for g in arms
+        ]
+        df = bgp_union(graph, union_arms, distinct=q["distinct"])
+        proj = q["projection"]
+        if proj:
+            missing = [v for v in proj if v not in df.columns]
+            if missing:
+                raise SparqlParseError(
+                    f"sparql: projected variables {missing} are not "
+                    "bound by any UNION arm"
+                )
+            df = df.select(*proj)
+            if q["distinct"]:
+                df = df.distinct()
+        return _apply_order_limit(df, q["order_by"], q["limit"])
+
+    kw = _match_kwargs(where)
+    if aggregates or group_by:
+        plain = [
+            v for v in (q["projection"] or []) if v not in aggregates
+        ]
+        stray = [v for v in plain if v not in group_by]
+        if stray:
+            raise SparqlParseError(
+                f"sparql: projected variables {stray} must appear in "
+                "GROUP BY (or inside an aggregate)"
+            )
+        # DISTINCT over aggregates dedupes the PROJECTED rows, so the
+        # modifiers must run after the projection+distinct, not inside
+        # bgp_select (ordering before a .distinct() would be undone)
+        late_mods = q["distinct"] and (q["order_by"] or q["limit"])
+        df = bgp_select(
+            graph,
+            where["patterns"],
+            group_by=["?" + v for v in group_by],
+            aggregates=aggregates,
+            having=q["having"] or None,
+            order_by=None if late_mods else (q["order_by"] or None),
+            limit=None if late_mods else q["limit"],
+            **kw,
+        )
+        proj = q["projection"]
+        if proj:
+            missing = [v for v in proj if v not in df.columns]
+            if missing:
+                raise SparqlParseError(
+                    f"sparql: projected names {missing} are not "
+                    "produced by GROUP BY / aggregates"
+                )
+            df = df.select(*proj)
+        if q["distinct"]:
+            df = df.distinct()
+        if late_mods:
+            df = _apply_order_limit(df, q["order_by"], q["limit"])
+        return df
+
+    if q["having"]:
+        raise SparqlParseError("sparql: HAVING requires aggregates")
+    df = bgp_match(graph, where["patterns"], distinct=False, **kw)
+    proj = q["projection"]
+    if proj:
+        missing = [v for v in proj if v not in df.columns]
+        if missing:
+            raise SparqlParseError(
+                f"sparql: projected variables {missing} are not bound "
+                "by the WHERE patterns"
+            )
+    if q["distinct"]:
+        if proj:
+            df = df.select(*proj)
+        df = df.distinct()
+        return _apply_order_limit(df, q["order_by"], q["limit"])
+    df = _apply_order_limit(df, q["order_by"], None)
+    if proj:
+        df = df.select(*proj)
+    if q["limit"] is not None:
+        df = df.limit(q["limit"])
+    return df
