@@ -506,3 +506,102 @@ def test_bnode_object_term():
     q = parse_sparql("SELECT * WHERE { ?s kg:ref _:b0 }")
     obj = q["where"]["patterns"][0][2]
     assert obj == Obj(S.KIND_BNODE, "b0")
+
+
+# ------------------------------------------------------------ UPDATE
+
+
+def _source_with(spark, rows_):
+    from triplestore_spark.operators.graph import TripleSource
+
+    src = TripleSource(spark)
+    return src.add_df(spark.createDataFrame(rows_, S.TRIPLE_SCHEMA))
+
+
+def test_update_insert_and_delete_data(spark):
+    src = _source_with(spark, HAND)
+    n0 = len(src.snapshot().df.collect())
+    src.update(
+        'INSERT DATA { doc:9 kg:mentions e:duck . '
+        'doc:9 kg:words "7"^^xsd:integer }'
+    )
+    g = src.snapshot()
+    assert g.sparql("ASK { doc:9 kg:mentions e:duck }") is True
+    assert len(g.df.collect()) == n0 + 2
+    src.update("DELETE DATA { doc:9 kg:mentions e:duck }")
+    g2 = src.snapshot()
+    assert g2.sparql("ASK { doc:9 kg:mentions e:duck }") is False
+    assert len(g2.df.collect()) == n0 + 1
+
+
+def test_update_insert_data_bnode_subject(spark):
+    src = _source_with(spark, HAND)
+    src.update("INSERT DATA { _:nb kg:mentions e:duck }")
+    rows_ = src.snapshot().df.where(
+        "subject = 'nb' AND subject_is_bnode"
+    ).collect()
+    assert len(rows_) == 1
+
+
+def test_update_modify_where(spark):
+    src = _source_with(spark, HAND)
+    # rewrite kg:source web -> archived flag, same pre-state bindings
+    src.update(
+        """
+        DELETE { ?d kg:source src:web }
+        INSERT { ?d kg:source src:archive . ?d kg:flag "old" }
+        WHERE { ?d kg:source src:web }
+        """
+    )
+    g = src.snapshot()
+    assert g.sparql("ASK { ?d kg:source src:web }") is False
+    assert g.sparql("ASK { doc:1 kg:source src:archive }") is True
+    assert g.sparql('ASK { doc:1 kg:flag "old" }') is True
+
+
+def test_update_delete_where_shorthand(spark):
+    src = _source_with(spark, HAND)
+    src.update("DELETE WHERE { ?d kg:mentions ?e }")
+    g = src.snapshot()
+    assert g.sparql("ASK { ?d kg:mentions ?e }") is False
+    # other predicates untouched
+    assert g.sparql("ASK { ?d kg:source ?s }") is True
+
+
+def test_update_pre_state_semantics(spark):
+    """DELETE and INSERT both instantiate against the PRE-state: an
+    insert that would also match the delete pattern is not deleted."""
+    src = _source_with(spark, HAND)
+    src.update(
+        """
+        DELETE { ?d kg:source src:web }
+        INSERT { ?d kg:source src:web2 }
+        WHERE { ?d kg:source src:web }
+        """
+    )
+    g = src.snapshot()
+    assert g.sparql("ASK { doc:1 kg:source src:web2 }") is True
+
+
+def test_update_statement_sequence_and_time_travel(spark):
+    src = _source_with(spark, HAND)
+    n_ops0 = len(src)
+    src.update(
+        "INSERT DATA { doc:9 kg:words 1 } ; "
+        "DELETE DATA { doc:9 kg:words 1 }"
+    )
+    assert len(src) == n_ops0 + 2
+    mid = src.snapshot_at(n_ops0 + 1)
+    assert mid.sparql("ASK { doc:9 kg:words 1 }") is True
+    assert src.snapshot().sparql("ASK { doc:9 kg:words 1 }") is False
+
+
+def test_update_refusals(spark):
+    from triplestore_spark.operators.sparql import parse_sparql_update
+
+    with pytest.raises(SparqlParseError, match="constants only"):
+        parse_sparql_update("INSERT DATA { ?d kg:a e:x }")
+    with pytest.raises(SparqlParseError, match="named-graph"):
+        parse_sparql_update("WITH <g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlParseError, match="property paths"):
+        parse_sparql_update("DELETE WHERE { ?s kg:a/kg:b ?o }")

@@ -14,7 +14,9 @@ from triplestore_spark.operators.graph import RDFGraph, TripleSource
 from triplestore_spark.operators.sparql import (
     SparqlParseError,
     parse_sparql,
+    parse_sparql_update,
     sparql_query,
+    sparql_update,
 )
 
 __all__ = [
@@ -32,5 +34,7 @@ __all__ = [
     "strip_node_key",
     "SparqlParseError",
     "parse_sparql",
+    "parse_sparql_update",
     "sparql_query",
+    "sparql_update",
 ]

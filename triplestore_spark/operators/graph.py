@@ -287,6 +287,14 @@ class TripleSource:
     def remove(self, *triples: Triple) -> "TripleSource":
         return self.remove_df(triples_to_df(self._spark, triples))
 
+    def update(self, text: str) -> "TripleSource":
+        """SPARQL Update front door (operators.sparql.sparql_update):
+        INSERT DATA / DELETE DATA / DELETE..INSERT..WHERE / DELETE
+        WHERE statements append ops to this source's log."""
+        from triplestore_spark.operators.sparql import sparql_update
+
+        return sparql_update(self, text)
+
     def copy_triples(self) -> DataFrame:
         return self._fold()
 

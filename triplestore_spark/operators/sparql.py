@@ -68,7 +68,13 @@ from triplestore_spark import schema as S
 from triplestore_spark.dsl import Obj
 from triplestore_spark.operators.bgp import PathExpr
 
-__all__ = ["SparqlParseError", "parse_sparql", "sparql_query"]
+__all__ = [
+    "SparqlParseError",
+    "parse_sparql",
+    "parse_sparql_update",
+    "sparql_query",
+    "sparql_update",
+]
 
 
 class SparqlParseError(ValueError):
@@ -98,7 +104,8 @@ _KEYWORDS = {
     "WHERE", "DISTINCT", "REDUCED", "OPTIONAL", "FILTER", "MINUS",
     "VALUES", "UNION", "GROUP", "BY", "HAVING", "ORDER", "ASC",
     "DESC", "LIMIT", "OFFSET", "NOT", "EXISTS", "AS", "UNDEF",
-    "BIND", "REGEX", "SEPARATOR",
+    "BIND", "REGEX", "SEPARATOR", "INSERT", "DELETE", "DATA",
+    "WITH", "USING", "GRAPH", "LOAD", "CLEAR", "DROP", "CREATE",
 }
 
 _AGG_FUNCS = {
@@ -224,6 +231,137 @@ class _Parser:
                 raise self.error("unexpected trailing input")
             return out
         raise self.error("OFFSET is not supported")
+
+    # -- UPDATE ------------------------------------------------------
+
+    def parse_update(self) -> list[dict]:
+        """SPARQL Update request: one or more statements separated by
+        ';'. Each statement is INSERT DATA / DELETE DATA (constant
+        triples), DELETE WHERE (pattern = template shorthand), or
+        DELETE {tmpl} / INSERT {tmpl} / both, with WHERE."""
+        while self.take_word("PREFIX"):
+            k, v, _ = self.next()
+            if k != "WORD" or ":" in v:
+                raise self.error("expected prefix name")
+            self.expect_op(":")
+            ik, iv, _ = self.next()
+            if ik != "IRI":
+                raise self.error("expected <iri> in PREFIX")
+            self.prefixes[v] = iv[1:-1]
+        stmts = [self._parse_update_stmt()]
+        while self.take_op(";"):
+            if self.peek()[0] == "EOF":
+                break
+            stmts.append(self._parse_update_stmt())
+        if self.peek()[0] != "EOF":
+            raise self.error("unexpected trailing input")
+        return stmts
+
+    def _parse_update_stmt(self) -> dict:
+        if self.at_word("WITH", "USING", "GRAPH", "LOAD", "CLEAR",
+                        "DROP", "CREATE"):
+            raise self.error(
+                "named-graph / dataset update forms are not supported "
+                "(this store is a single graph)"
+            )
+        if self.take_word("INSERT"):
+            if self.take_word("DATA"):
+                return {"op": "insert_data", "triples": self._parse_data()}
+            tmpl = self._parse_template()
+            self.expect_word("WHERE")
+            return {
+                "op": "modify",
+                "delete": None,
+                "insert": tmpl,
+                "where": self._parse_group(),
+            }
+        if self.take_word("DELETE"):
+            if self.take_word("DATA"):
+                return {"op": "delete_data", "triples": self._parse_data()}
+            if self.take_word("WHERE"):
+                g = self._parse_group()
+                if "union" in g:
+                    raise self.error("DELETE WHERE over UNION is not supported")
+                from triplestore_spark.operators.bgp import _is_path_pred
+
+                for s, p, o in g["patterns"]:
+                    if not isinstance(p, str) or _is_path_pred(p):
+                        raise self.error(
+                            "DELETE WHERE patterns must be plain "
+                            "triples (no property paths)"
+                        )
+                return {
+                    "op": "modify",
+                    "delete": list(g["patterns"]),
+                    "insert": None,
+                    "where": g,
+                }
+            tmpl = self._parse_template()
+            insert = None
+            if self.take_word("INSERT"):
+                insert = self._parse_template()
+            self.expect_word("WHERE")
+            return {
+                "op": "modify",
+                "delete": tmpl,
+                "insert": insert,
+                "where": self._parse_group(),
+            }
+        raise self.error("expected INSERT or DELETE")
+
+    def _parse_template(self) -> list[tuple]:
+        self.expect_op("{")
+        tmpl: list[tuple] = []
+        while not self.at_op("}"):
+            tmpl.extend(self._parse_triples_same_subject(paths=False))
+            if not self.take_op("."):
+                break
+        self.expect_op("}")
+        if not tmpl:
+            raise self.error("empty template")
+        return tmpl
+
+    def _parse_data(self) -> list:
+        """INSERT DATA / DELETE DATA block -> driver Triples (constants
+        only; '_:label' subjects become bnode rows)."""
+        from triplestore_spark.dsl import Triple
+
+        self.expect_op("{")
+        out: list = []
+        while not self.at_op("}"):
+            if self.peek()[0] == "BNODE":
+                subj_tok = self.next()[1]
+                subj, is_bnode = subj_tok[2:], True
+            else:
+                t = self._parse_term("subject")
+                if t.startswith("?"):
+                    raise self.error("DATA blocks take constants only")
+                subj, is_bnode = t, False
+            while True:
+                pred = self._parse_term("predicate")
+                if pred.startswith("?"):
+                    raise self.error("DATA blocks take constants only")
+                while True:
+                    o = self._parse_term("object")
+                    if isinstance(o, str):
+                        if o.startswith("?"):
+                            raise self.error(
+                                "DATA blocks take constants only"
+                            )
+                        o = Obj(S.KIND_RESOURCE, o)
+                    out.append(Triple(subj, pred, o, is_bnode))
+                    if not self.take_op(","):
+                        break
+                if not self.take_op(";"):
+                    break
+                if self.at_op(".") or self.at_op("}"):
+                    break
+            if not self.take_op("."):
+                break
+        self.expect_op("}")
+        if not out:
+            raise self.error("empty DATA block")
+        return out
 
     # -- SELECT ------------------------------------------------------
 
@@ -956,6 +1094,50 @@ def parse_sparql(text: str) -> dict:
     Exposed for inspection/tests; the spec's fields mirror bgp_match /
     bgp_select arguments directly."""
     return _Parser(text).parse()
+
+
+def parse_sparql_update(text: str) -> list[dict]:
+    """Parse a SPARQL Update request to its statement list."""
+    return _Parser(text).parse_update()
+
+
+def sparql_update(source, text: str):
+    """Execute SPARQL Update text against a TripleSource op log:
+    INSERT DATA / DELETE DATA append constant add/remove ops;
+    DELETE/INSERT ... WHERE instantiates the templates over the
+    CURRENT snapshot's bindings (both templates against the same
+    pre-state, per the SPARQL Update spec) and appends the remove
+    then the add. Returns the source for chaining; time travel over
+    the resulting ops comes free (TripleSource.snapshot_at)."""
+    from triplestore_spark.dsl import triples_to_df
+    from triplestore_spark.operators.bgp import bgp_construct
+
+    for stmt in parse_sparql_update(text):
+        if stmt["op"] == "insert_data":
+            source.add_df(
+                triples_to_df(source._spark, stmt["triples"])
+            )
+        elif stmt["op"] == "delete_data":
+            source.remove_df(
+                triples_to_df(source._spark, stmt["triples"])
+            )
+        else:
+            g = stmt["where"]
+            if "union" in g:
+                raise SparqlParseError(
+                    "sparql update: UNION in WHERE is not supported"
+                )
+            pre = source.snapshot()
+            kw = _match_kwargs(g)
+            if stmt["delete"]:
+                source.remove_df(
+                    bgp_construct(pre, g["patterns"], stmt["delete"], **kw)
+                )
+            if stmt["insert"]:
+                source.add_df(
+                    bgp_construct(pre, g["patterns"], stmt["insert"], **kw)
+                )
+    return source
 
 
 def _match_kwargs(g: dict) -> dict:
