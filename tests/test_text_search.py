@@ -1,0 +1,187 @@
+"""Full-text search (operators/text_search.py): BM25 against an
+independent pure-Python oracle, determinism, graph-literal indexing,
+and the plan properties that make it scale (text never shuffles past
+tokenization; the query side broadcasts)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from triplestore_spark import schema as S
+from triplestore_spark.dsl import Obj, Triple, lit_string, triples_to_df
+from triplestore_spark.operators.text_search import (
+    bm25_score_py,
+    bm25_search,
+    build_text_index,
+    graph_text_index,
+    terms_col,
+)
+
+DOCS = {
+    "d1": "the quick brown fox jumps over the lazy dog",
+    "d2": "a quick brown dog outpaces a quick fox",
+    "d3": "lorem ipsum dolor sit amet",
+    "d4": "the dog sat on the mat; the dog barked",
+    "d5": "Foxes and Dogs: a QUICK study",
+    "d6": "",
+}
+
+
+def _index(spark, docs=DOCS):
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id string, text string"
+    )
+    return build_text_index(df)
+
+
+def test_tokenizer_case_fold_and_punct(spark):
+    df = spark.createDataFrame(
+        [("x", "Hello, WORLD!! 42 foo-bar")], "id string, text string"
+    )
+    [row] = df.select(terms_col("text").alias("t")).collect()
+    assert row["t"] == ["hello", "world", "42", "foo", "bar"]
+
+
+def test_index_stats(spark):
+    idx = _index(spark)
+    # d6 is empty but still a document (dl = 0)
+    assert idx.n_docs == 6
+    lens = {r["id"]: r["dl"] for r in
+            idx.postings.select("id", "dl").distinct().collect()}
+    assert lens["d1"] == 9 and "d6" not in lens  # no postings for empty
+    df_map = {r["term"]: r["df"] for r in idx.term_stats.collect()}
+    assert df_map["quick"] == 3  # d1, d2, d5
+    assert df_map["dog"] == 3    # d1, d2, d4 ('dogs' in d5 is a term of its own)
+    # avgdl counts the empty doc's 0 length
+    total = sum(lens.values())
+    assert idx.avgdl == pytest.approx(total / 6)
+
+
+def test_bm25_matches_pure_python_oracle(spark):
+    idx = _index(spark)
+    for query in ["quick fox", "the dog", "lorem", "QUICK Study dogs"]:
+        got = {
+            (r["qid"], r["id"]): r["score"]
+            for r in bm25_search(idx, [query], k=10).collect()
+        }
+        want = bm25_score_py(DOCS, query)
+        assert set(k[1] for k in got) == set(want)
+        for (qid, i), s in got.items():
+            assert qid == "0"
+            assert s == pytest.approx(want[i], rel=1e-9)
+
+
+def test_bm25_randomized_differential(spark):
+    rng = random.Random(20260818)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = {
+        f"d{i}": " ".join(rng.choices(vocab, k=rng.randint(1, 30)))
+        for i in range(25)
+    }
+    idx = _index(spark, docs)
+    queries = {
+        f"q{j}": " ".join(rng.sample(vocab, k=rng.randint(1, 3)))
+        for j in range(5)
+    }
+    got = bm25_search(idx, queries, k=100).collect()
+    by_q: dict[str, dict[str, float]] = {}
+    for r in got:
+        by_q.setdefault(r["qid"], {})[r["id"]] = r["score"]
+    for qid, qtext in queries.items():
+        want = bm25_score_py(docs, qtext)
+        have = by_q.get(qid, {})
+        assert set(have) == set(want), qid
+        for i in want:
+            assert have[i] == pytest.approx(want[i], rel=1e-9)
+
+
+def test_topk_rank_and_deterministic_ties(spark):
+    # two identical docs -> identical scores; tie breaks on id asc
+    docs = {"b": "same words here", "a": "same words here",
+            "c": "unrelated stuff"}
+    idx = _index(spark, docs)
+    rows = bm25_search(idx, ["same words"], k=2).collect()
+    assert [(r["id"], r["rank"]) for r in
+            sorted(rows, key=lambda r: r["rank"])] == [("a", 1), ("b", 2)]
+
+
+def test_query_term_multiplicity_ignored(spark):
+    idx = _index(spark)
+    a = {r["id"]: r["score"] for r in bm25_search(idx, ["dog"], k=10).collect()}
+    b = {r["id"]: r["score"] for r in
+         bm25_search(idx, ["dog dog DOG"], k=10).collect()}
+    assert a == b
+
+
+def test_no_match_and_empty_index_refusal(spark):
+    idx = _index(spark)
+    assert bm25_search(idx, ["zzzunknown"], k=5).count() == 0
+    empty = build_text_index(
+        spark.createDataFrame([], "doc_id string, text string")
+    )
+    with pytest.raises(ValueError, match="empty index"):
+        bm25_search(empty, ["x"])
+    with pytest.raises(ValueError, match="no queries"):
+        bm25_search(idx, [])
+
+
+def test_fragment_ids_merge(spark):
+    # one id split over two rows == the concatenated document
+    frags = spark.createDataFrame(
+        [("d", "quick brown"), ("d", "fox quick"), ("e", "slow snail")],
+        "doc_id string, text string",
+    )
+    whole = {"d": "quick brown fox quick", "e": "slow snail"}
+    idx = build_text_index(frags)
+    got = {r["id"]: r["score"]
+           for r in bm25_search(idx, ["quick"], k=10).collect()}
+    want = bm25_score_py(whole, "quick")
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-9)
+
+
+def test_graph_text_index_returns_subjects(spark):
+    g_rows = [
+        Triple("e:cat", "rdfs:label", lit_string("feline friend")),
+        Triple("e:cat", "kg:desc", lit_string("a small domestic feline")),
+        Triple("e:dog", "rdfs:label", lit_string("canine friend")),
+        Triple("e:cat", "kg:rel", Obj(S.KIND_RESOURCE, "e:feline")),
+    ]
+    from triplestore_spark.operators.graph import RDFGraph
+
+    g = RDFGraph(triples_to_df(spark, g_rows), cache=False)
+    idx = graph_text_index(g)
+    hits = bm25_search(idx, ["feline"], k=5).collect()
+    assert [r["id"] for r in hits] == ["e:cat"]  # resource object ignored
+    # predicate restriction: label-only index doesn't see kg:desc text
+    idx_lbl = graph_text_index(g, predicates=["rdfs:label"])
+    assert bm25_search(idx_lbl, ["domestic"], k=5).count() == 0
+    assert bm25_search(idx_lbl, ["friend"], k=5).count() == 2
+
+
+def test_plan_properties(spark):
+    idx = _index(spark)
+    plan = bm25_search(idx, ["quick fox"], k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the query side reaches the postings as a broadcast join
+    assert "BroadcastHashJoin" in plan
+    # no exchange moves the raw text column: after tokenization only
+    # id/term/tf/dl/qid/score ever shuffle
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_idf_always_positive(spark):
+    # a term present in EVERY document still contributes positively
+    docs = {f"d{i}": "common filler" for i in range(4)}
+    idx = _index(spark, docs)
+    rows = bm25_search(idx, ["common"], k=10).collect()
+    assert len(rows) == 4 and all(r["score"] > 0 for r in rows)
+    want = math.log(1 + (4 - 4 + 0.5) / (4 + 0.5))
+    # tf=1, dl==avgdl -> norm = 1 + k1 -> contribution == idf
+    assert rows[0]["score"] == pytest.approx(want, rel=1e-9)

@@ -1,0 +1,243 @@
+"""Full-text search over document text and literal objects: inverted
+postings, Okapi BM25 ranking, multi-query top-k.
+
+The reference library has no text index (it is a triple codec/store —
+source.go's query surface is exact-match lookups), but every
+production triplestore pairs the graph with one (Jena jena-text,
+Virtuoso, Stardog all bolt Lucene-style search onto literals), and a
+training-data pipeline needs the same primitive for retrieval-based
+decontamination and quality auditing. Here the index IS a DataFrame,
+so Catalyst plans the whole retrieval path:
+
+- **Tokenize**: pure Catalyst `lower` + `regexp_extract_all` —
+  deterministic, engine-portable (the pure-Python oracle in
+  tests/test_text_search.py re-implements it with `re`).
+- **Postings build**: explode tokens, one hash aggregation to
+  (id, term, tf). Map-side partial aggregation collapses repeated
+  terms before the shuffle, and the shuffled rows are (id, short
+  term) pairs — the document TEXT never moves after tokenization.
+  Per-document lengths aggregate from the UN-exploded frame
+  (`size(terms)` per row, narrow sum by id), so fragment inputs
+  (several rows per id, e.g. one per literal) merge correctly.
+- **Search**: the query side is small by nature, so it reaches the
+  postings as a broadcast hash join on term; document-frequency
+  stats join on the same key; scores reduce in one (qid, id)
+  aggregation of 3-column rows; top-k per query is a rank-limited
+  window (Spark pushes the limit into the sort — WindowGroupLimit).
+
+BM25 (Robertson/Sparck Jones; the idf is Lucene's always-positive
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` variant)::
+
+    score(q, d) = sum_{t in q∩d} idf(t) * tf * (k1+1)
+                  / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Query-term multiplicity is ignored (each distinct query term counts
+once) — the standard short-query simplification.
+
+At 100 TB the postings build is the unavoidable inverted-index
+shuffle, sized by token count, not text bytes; everything downstream
+of it is narrow. A persisted variant would write the postings
+parquet bucketed by term — the build function returns plain
+DataFrames precisely so callers can `.write.bucketBy('term', ...)`
+them without a bespoke format.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from triplestore_spark.schema import KIND_LITERAL
+
+# Case-folded alphanumeric runs. Kept deliberately simple and
+# portable: the oracle, the Spark expression, and any SQL twin agree
+# by construction on ASCII; unicode letters pass through `lower`
+# unchanged on both engines.
+TOKEN_PATTERN = r"[a-z0-9]+"
+
+
+def terms_col(text) -> F.Column:
+    """All search terms of a text column (case-folded, pattern-split),
+    as an array<string> — pure Catalyst."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+@dataclass
+class TextIndex:
+    """Inverted index over (id, text) rows.
+
+    postings   : (id, term, tf, dl)  — dl denormalized per id so a
+                 search never re-joins a lengths table
+    term_stats : (term, df)          — document frequency
+    n_docs, avgdl : corpus scalars (collected once at build — two
+                 numbers, not data)
+    """
+
+    postings: DataFrame
+    term_stats: DataFrame
+    n_docs: int
+    avgdl: float
+
+
+def build_text_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> TextIndex:
+    """Build the inverted index. `id_col` need not be unique: several
+    rows per id (e.g. one per literal object) merge into one virtual
+    document (term frequencies and lengths sum)."""
+    base = docs.select(
+        F.col(id_col).alias("id"), terms_col(text_col).alias("_terms")
+    )
+    # doc lengths from the UN-exploded frame: narrow (id, int) rows
+    dl = base.select("id", F.size("_terms").alias("_n")).groupBy("id").agg(
+        F.sum("_n").alias("dl")
+    )
+    tok = base.select("id", F.explode("_terms").alias("term"))
+    postings = (
+        tok.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, on="id")
+    )
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs = int(row["n"] or 0)
+    avgdl = float(row["avgdl"] or 0.0)
+    return TextIndex(postings, term_stats, n_docs, avgdl)
+
+
+def _queries_df(
+    spark: SparkSession, queries
+) -> DataFrame:
+    """Normalize queries to a distinct (qid, term) frame. Accepts a
+    list[str] (qid = position), a dict {qid: text}, or a DataFrame
+    with (qid, text) columns."""
+    if isinstance(queries, DataFrame):
+        qdf = queries.select(
+            F.col("qid"), terms_col("text").alias("_terms")
+        )
+    else:
+        if isinstance(queries, dict):
+            rows = [(str(k), str(v)) for k, v in queries.items()]
+        else:
+            rows = [(str(i), str(q)) for i, q in enumerate(queries)]
+        if not rows:
+            raise ValueError("bm25_search: no queries")
+        qdf = spark.createDataFrame(rows, "qid string, text string").select(
+            "qid", terms_col("text").alias("_terms")
+        )
+    return (
+        qdf.select("qid", F.explode("_terms").alias("term")).distinct()
+    )
+
+
+def bm25_search(
+    index: TextIndex,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 hits per query -> (qid, id, score, rank).
+
+    The query side broadcasts onto the postings (it is search text —
+    small by nature); ties break on id ascending so results are
+    deterministic. Documents sharing no term with a query do not
+    appear (their BM25 score is 0 by definition)."""
+    if index.n_docs == 0:
+        raise ValueError("bm25_search: empty index")
+    spark = index.postings.sparkSession
+    qterms = _queries_df(spark, queries)
+
+    n, avgdl = float(index.n_docs), index.avgdl
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl or 1.0)
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
+
+    scored = (
+        index.postings
+        # broadcast the small query side into the postings scan
+        .join(F.broadcast(qterms), on="term")
+        .join(index.term_stats, on="term")
+        .select("qid", "id", contrib.alias("_c"))
+        .groupBy("qid", "id")
+        .agg(F.sum("_c").alias("score"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    )
+
+
+def graph_text_index(
+    graph, predicates: Optional[Sequence[str]] = None
+) -> TextIndex:
+    """Index the literal objects of an RDFGraph, one virtual document
+    per SUBJECT (all its literal values merge — the jena-text shape:
+    search returns subjects). `predicates` restricts which properties
+    feed the index (e.g. only rdfs:label / kg:text); the filter is a
+    component predicate, so it pushes down onto the POS layout's
+    parquet stats when the graph is materialized."""
+    df = graph.df if hasattr(graph, "df") else graph
+    lit_rows = df.where(F.col("object_kind") == KIND_LITERAL)
+    if predicates is not None:
+        lit_rows = lit_rows.where(F.col("predicate").isin(list(predicates)))
+    return build_text_index(
+        lit_rows, id_col="subject", text_col="object_value"
+    )
+
+
+def bm25_score_py(
+    docs: dict[str, str],
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict[str, float]:
+    """Independent pure-Python BM25 over {id: text} — the test oracle.
+    Implements the module formula from scratch (collections.Counter,
+    math.log); shares no code with the Spark path."""
+    import re
+    from collections import Counter
+
+    tok = {i: re.findall(TOKEN_PATTERN, t.lower()) for i, t in docs.items()}
+    n = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n if n else 0.0
+    dfreq: Counter = Counter()
+    for terms in tok.values():
+        dfreq.update(set(terms))
+    out: dict[str, float] = {}
+    qterms = set(re.findall(TOKEN_PATTERN, query.lower()))
+    for i, terms in tok.items():
+        tf = Counter(terms)
+        s = 0.0
+        for t in qterms & set(terms):
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += (
+                idf
+                * tf[t]
+                * (k1 + 1.0)
+                / (tf[t] + k1 * (1.0 - b + b * len(terms) / (avgdl or 1.0)))
+            )
+        if s > 0.0:
+            out[i] = s
+    return out
