@@ -176,6 +176,92 @@ def test_plan_properties(spark):
         assert "text" not in m.group(0), m.group(0)
 
 
+def test_require_all_and_mode(spark):
+    idx = _index(spark)
+    # OR mode: 'quick mat' matches quick-docs and d4 (mat)
+    or_ids = {r["id"] for r in bm25_search(idx, ["quick mat"], k=10).collect()}
+    assert or_ids == {"d1", "d2", "d5", "d4"}
+    # AND mode: no doc has both
+    assert bm25_search(idx, ["quick mat"], k=10, require_all=True).count() == 0
+    # AND mode positive: d1/d2 have both quick and fox
+    and_rows = bm25_search(idx, ["quick fox"], k=10, require_all=True).collect()
+    assert {r["id"] for r in and_rows} == {"d1", "d2"}
+    # scores identical to OR mode for the surviving docs
+    or_scores = {r["id"]: r["score"]
+                 for r in bm25_search(idx, ["quick fox"], k=10).collect()}
+    for r in and_rows:
+        assert r["score"] == pytest.approx(or_scores[r["id"]], rel=1e-12)
+    # an out-of-vocabulary term means NO doc can match all
+    assert bm25_search(
+        idx, ["quick zzzunknown"], k=10, require_all=True
+    ).count() == 0
+
+
+def test_persisted_index_equals_inline(spark, tmp_path):
+    from triplestore_spark.operators.text_search import (
+        load_text_index,
+        save_text_index,
+    )
+
+    idx = _index(spark)
+    p = str(tmp_path / "txtidx")
+    save_text_index(idx, p, n_buckets=8)
+    loaded = load_text_index(spark, p)
+    assert loaded.n_docs == idx.n_docs
+    assert loaded.avgdl == pytest.approx(idx.avgdl)
+    queries = {"a": "quick fox", "b": "the dog barked", "c": "lorem"}
+    inline = sorted(
+        (r["qid"], r["id"], r["rank"], round(r["score"], 12))
+        for r in bm25_search(idx, queries, k=10).collect()
+    )
+    persisted = sorted(
+        (r["qid"], r["id"], r["rank"], round(r["score"], 12))
+        for r in bm25_search(loaded, queries, k=10).collect()
+    )
+    assert inline == persisted
+
+
+def test_persisted_index_partition_pruning(spark, tmp_path):
+    from triplestore_spark.operators.text_search import (
+        save_text_index,
+    )
+
+    idx = _index(spark)
+    p = str(tmp_path / "txtidx2")
+    loaded = save_text_index(idx, p, n_buckets=16)
+    plan = bm25_search(loaded, ["lorem"], k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the bucket IN-list reaches the scan as a partition filter and
+    # the term IN-list as a pushed data filter
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
+    assert "PushedFilters" in plan
+
+
+def test_persisted_index_pattern_mismatch_refused(spark, tmp_path):
+    import json
+
+    from triplestore_spark.operators.text_search import (
+        INDEX_FILE,
+        load_text_index,
+        save_text_index,
+    )
+
+    idx = _index(spark)
+    p = str(tmp_path / "txtidx3")
+    save_text_index(idx, p, n_buckets=4)
+    meta_path = tmp_path / "txtidx3" / INDEX_FILE
+    meta = json.loads(meta_path.read_text())
+    meta["token_pattern"] = r"\w+"
+    meta_path.write_text(json.dumps(meta))
+    # drop the local-FS checksum sidecar the out-of-band edit broke
+    crc = tmp_path / "txtidx3" / ("." + INDEX_FILE + ".crc")
+    if crc.exists():
+        crc.unlink()
+    with pytest.raises(ValueError, match="rebuild the index"):
+        load_text_index(spark, p)
+
+
 def test_idf_always_positive(spark):
     # a term present in EVERY document still contributes positively
     docs = {f"d{i}": "common filler" for i in range(4)}

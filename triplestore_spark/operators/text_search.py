@@ -36,15 +36,18 @@ once) — the standard short-query simplification.
 
 At 100 TB the postings build is the unavoidable inverted-index
 shuffle, sized by token count, not text bytes; everything downstream
-of it is narrow. A persisted variant would write the postings
-parquet bucketed by term — the build function returns plain
-DataFrames precisely so callers can `.write.bucketBy('term', ...)`
-them without a bespoke format.
+of it is narrow. `save_text_index`/`load_text_index` add the
+build-once/query-many serving shape: postings and term stats land as
+parquet PARTITIONED BY a term-hash bucket, and a search batch's
+bucket IN-list prunes partitions at file listing — reading
+n_query_buckets/n_buckets of the index, never all of it (the same
+mechanism as the persisted IVF index, operators/ann_index.py).
 """
 
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -83,6 +86,14 @@ class TextIndex:
     term_stats: DataFrame
     n_docs: int
     avgdl: float
+
+    def _pruned(self, qterms: DataFrame):
+        """(postings, term_stats, qterms) restricted to what this
+        query batch can touch. The in-memory index has nothing to
+        prune — the broadcast join already skips non-matching terms
+        row-by-row; the persisted subclass overrides this with
+        partition-level pruning."""
+        return self.postings, self.term_stats, qterms
 
 
 def build_text_index(
@@ -146,17 +157,22 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
 ) -> DataFrame:
     """Top-k BM25 hits per query -> (qid, id, score, rank).
 
     The query side broadcasts onto the postings (it is search text —
     small by nature); ties break on id ascending so results are
     deterministic. Documents sharing no term with a query do not
-    appear (their BM25 score is 0 by definition)."""
+    appear (their BM25 score is 0 by definition). `require_all=True`
+    switches OR retrieval to boolean-AND: only documents containing
+    EVERY query term rank (a query with an out-of-vocabulary term
+    then matches nothing, by definition)."""
     if index.n_docs == 0:
         raise ValueError("bm25_search: empty index")
     spark = index.postings.sparkSession
     qterms = _queries_df(spark, queries)
+    postings, term_stats, qterms = index._pruned(qterms)
 
     n, avgdl = float(index.n_docs), index.avgdl
     idf = F.log(
@@ -169,14 +185,27 @@ def bm25_search(
     contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
 
     scored = (
-        index.postings
+        postings
         # broadcast the small query side into the postings scan
         .join(F.broadcast(qterms), on="term")
-        .join(index.term_stats, on="term")
+        .join(term_stats, on="term")
         .select("qid", "id", contrib.alias("_c"))
         .groupBy("qid", "id")
-        .agg(F.sum("_c").alias("score"))
+        .agg(
+            F.sum("_c").alias("score"),
+            F.count(F.lit(1)).alias("_matched"),
+        )
     )
+    if require_all:
+        # rows entering the agg are unique (qid, id, term), so
+        # _matched counts DISTINCT matched query terms; compare to
+        # the query's total term count (counted BEFORE the postings
+        # join, so out-of-vocabulary terms still demand a match)
+        want = qterms.groupBy("qid").agg(F.count(F.lit(1)).alias("_want"))
+        scored = scored.join(F.broadcast(want), on="qid").where(
+            F.col("_matched") == F.col("_want")
+        )
+    scored = scored.select("qid", "id", "score")
     rn = F.row_number().over(
         Window.partitionBy("qid").orderBy(
             F.col("score").desc(), F.col("id").asc()
@@ -205,6 +234,111 @@ def graph_text_index(
     return build_text_index(
         lit_rows, id_col="subject", text_col="object_value"
     )
+
+
+# -- persisted index (build once, query many) -------------------------
+
+INDEX_FILE = "index.json"
+POSTINGS_DIR = "postings"
+TERM_STATS_DIR = "term_stats"
+
+
+class PersistedTextIndex(TextIndex):
+    """Disk-backed index whose postings AND term stats are parquet
+    PARTITIONED BY a term-hash bucket, so a query batch reads only
+    the buckets its terms hash into — file listing never touches the
+    rest (the IVFIndex partition-pruning shape, operators/
+    ann_index.py). Bucket assignment runs through the same Spark
+    `xxhash64` expression at save and search time, so pruning can
+    never disagree with storage."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self._spark = spark
+        self._path = path
+        self.meta = meta
+        super().__init__(
+            postings=spark.read.parquet(os.path.join(path, POSTINGS_DIR)),
+            term_stats=spark.read.parquet(
+                os.path.join(path, TERM_STATS_DIR)
+            ),
+            n_docs=int(meta["n_docs"]),
+            avgdl=float(meta["avgdl"]),
+        )
+
+    def _pruned(self, qterms: DataFrame):
+        # search text is config-sized by nature: collect the terms
+        # WITH their storage bucket (same xxhash64 expr as the
+        # writer) and push bucket/term IN-lists onto both scans —
+        # bucket prunes partitions at file listing, term prunes row
+        # groups via parquet dictionary/min-max stats
+        nb = int(self.meta["n_buckets"])
+        rows = qterms.withColumn("bucket", _bucket_col(nb)).collect()
+        terms = sorted({r["term"] for r in rows})
+        buckets = sorted({r["bucket"] for r in rows})
+        keep = F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        qt = self._spark.createDataFrame(
+            [(r["qid"], r["term"]) for r in rows], "qid string, term string"
+        )
+        return (
+            self.postings.where(keep).drop("bucket"),
+            self.term_stats.where(keep).drop("bucket"),
+            qt,
+        )
+
+
+def _bucket_col(n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+
+
+def save_text_index(
+    index: TextIndex, path: str, n_buckets: int = 64
+) -> "PersistedTextIndex":
+    """Materialize an index for build-once/query-many serving. Scalars
+    travel through the Hadoop FileSystem API like the data (an
+    HDFS/S3 `path` keeps everything together)."""
+    import json
+
+    from triplestore_spark.streaming.ingest import fs_write_text
+
+    spark = index.postings.sparkSession
+    (
+        index.postings.withColumn("bucket", _bucket_col(n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, POSTINGS_DIR))
+    )
+    (
+        index.term_stats.withColumn("bucket", _bucket_col(n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, TERM_STATS_DIR))
+    )
+    meta = {
+        "version": 1,
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "n_buckets": n_buckets,
+        "token_pattern": TOKEN_PATTERN,
+    }
+    fs_write_text(spark, os.path.join(path, INDEX_FILE), json.dumps(meta))
+    return PersistedTextIndex(spark, path, meta)
+
+
+def load_text_index(spark: SparkSession, path: str) -> PersistedTextIndex:
+    import json
+
+    from triplestore_spark.streaming.ingest import fs_read_text
+
+    meta = json.loads(fs_read_text(spark, os.path.join(path, INDEX_FILE)))
+    if meta.get("token_pattern") != TOKEN_PATTERN:
+        raise ValueError(
+            "text index was built with token_pattern="
+            f"{meta.get('token_pattern')!r}; this library tokenizes "
+            f"with {TOKEN_PATTERN!r} — rebuild the index"
+        )
+    return PersistedTextIndex(spark, path, meta)
 
 
 def bm25_score_py(
