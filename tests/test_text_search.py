@@ -162,6 +162,26 @@ def test_graph_text_index_returns_subjects(spark):
     assert bm25_search(idx_lbl, ["friend"], k=5).count() == 2
 
 
+def test_rdfgraph_text_search_front_door(spark):
+    from triplestore_spark.operators.graph import RDFGraph
+
+    g = RDFGraph(
+        triples_to_df(
+            spark,
+            [
+                Triple("e:cat", "rdfs:label", lit_string("feline friend")),
+                Triple("e:dog", "rdfs:label", lit_string("canine friend")),
+            ],
+        ),
+        cache=False,
+    )
+    rows = g.text_search("feline", k=5).collect()
+    assert [(r["subject"], r["rank"]) for r in rows] == [("e:cat", 1)]
+    assert rows[0]["score"] > 0
+    both = g.text_search("friend", k=5).collect()
+    assert {r["subject"] for r in both} == {"e:cat", "e:dog"}
+
+
 def test_plan_properties(spark):
     idx = _index(spark)
     plan = bm25_search(idx, ["quick fox"], k=3)._jdf.queryExecution(

@@ -186,6 +186,24 @@ class RDFGraph:
 
         return to_property_graph(self, **kwargs)
 
+    def text_search(
+        self, query: str, k: int = 10, predicates=None, **kwargs
+    ) -> DataFrame:
+        """BM25 full-text search over this graph's literal objects ->
+        (subject, score, rank) — the jena-text convenience shape.
+        Builds the inverted index inline (one-shot exploration); for
+        query-many serving build it once via
+        operators.text_search.graph_text_index + save_text_index."""
+        from triplestore_spark.operators.text_search import (
+            bm25_search,
+            graph_text_index,
+        )
+
+        idx = graph_text_index(self, predicates=predicates)
+        return bm25_search(idx, [query], k=k, **kwargs).select(
+            F.col("id").alias("subject"), "score", "rank"
+        )
+
     def describe(self, node: str) -> DataFrame:
         """Every triple touching `node` (as subject, or as resource /
         bnode object) — the exploration helper SPARQL calls DESCRIBE.
