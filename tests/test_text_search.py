@@ -282,6 +282,57 @@ def test_persisted_index_pattern_mismatch_refused(spark, tmp_path):
         load_text_index(spark, p)
 
 
+def test_tfidf_vectors_match_pure_python(spark):
+    from triplestore_spark.operators.text_search import (
+        tfidf_vectors,
+        tfidf_vectors_py,
+    )
+
+    idx = _index(spark)
+    got = {r["id"]: r["vector"]
+           for r in tfidf_vectors(idx, dim=32).collect()}
+    want = tfidf_vectors_py(DOCS, dim=32)
+    assert set(got) == set(want)  # d6 (empty) absent from both
+    assert "d6" not in got
+    for i, vec in want.items():
+        assert got[i] == pytest.approx(vec, rel=1e-9, abs=1e-12)
+
+
+def test_similar_documents_duplicates_rank_first(spark):
+    from triplestore_spark.operators.text_search import similar_documents
+
+    docs = {
+        "a1": "spark shuffles partitions across the cluster",
+        "a2": "spark shuffles partitions across the cluster",
+        "b": "ducks swim on the quiet pond",
+        "c": "completely different words entirely",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id string, text string"
+    )
+    rows = similar_documents(df, k=1, dim=64, query_ids=["a1", "b"]).collect()
+    by_q = {r["query_id"]: r for r in rows}
+    # a1's nearest neighbor is its exact duplicate at cosine 1.0
+    assert by_q["a1"]["neighbor_id"] == "a2"
+    assert by_q["a1"]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert by_q["b"]["cosine"] < 1.0
+
+
+def test_tfidf_refusals(spark):
+    from triplestore_spark.operators.text_search import (
+        build_text_index,
+        tfidf_vectors,
+    )
+
+    empty = build_text_index(
+        spark.createDataFrame([], "doc_id string, text string")
+    )
+    with pytest.raises(ValueError, match="empty index"):
+        tfidf_vectors(empty)
+    with pytest.raises(ValueError, match="dim must be positive"):
+        tfidf_vectors(_index(spark), dim=0)
+
+
 def test_idf_always_positive(spark):
     # a term present in EVERY document still contributes positively
     docs = {f"d{i}": "common filler" for i in range(4)}

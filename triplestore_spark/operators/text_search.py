@@ -236,6 +236,109 @@ def graph_text_index(
     )
 
 
+def tfidf_vectors(index: TextIndex, dim: int = 256) -> DataFrame:
+    """Hashed TF-IDF document vectors (the feature-hashing trick):
+    term t adds ``tf(t, d) * idf(t)`` to slot ``md5(t) % dim`` ->
+    (id, vector array<double>). The hash is the repo's
+    engine-portable md5 draw (graph_sample.py uses the same), so the
+    pure-Python twin in tests is bit-exact; idf is the same
+    always-positive variant bm25_search uses. Output feeds the
+    similarity family directly (operators/similarity.brute_force_topk
+    / lsh_topk / ivf_topk with id_col='id', vec_col='vector') — text
+    -> vector -> cosine top-k IS the classic similar-document /
+    near-dup retrieval pipeline. Empty documents (no terms) have no
+    vector, by definition of the representation.
+
+    Plan shape: one join on term (postings x term_stats, both already
+    term-keyed), one (id, slot) partial+final aggregation, one per-id
+    map assembly — the dense dim-vector materializes only in the
+    final projection, never shuffles."""
+    if index.n_docs == 0:
+        raise ValueError("tfidf_vectors: empty index")
+    if dim <= 0:
+        raise ValueError("tfidf_vectors: dim must be positive")
+    n = float(index.n_docs)
+    slot = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_slot = (
+        index.postings.join(index.term_stats, on="term")
+        .select(
+            "id", slot.alias("slot"), (F.col("tf") * idf).alias("w")
+        )
+        .groupBy("id", "slot")
+        .agg(F.sum("w").alias("w"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("slot", "w")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0.0)),
+    )
+    return (
+        per_slot.groupBy("id")
+        .agg(m.alias("_m"))
+        .select("id", dense.alias("vector"))
+    )
+
+
+def similar_documents(
+    docs: DataFrame,
+    k: int = 5,
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_ids: Optional[list] = None,
+) -> DataFrame:
+    """Top-k most similar documents by hashed-TF-IDF cosine ->
+    (query_id, neighbor_id, rank, cosine). `query_ids=None` ranks
+    neighbors for EVERY document — quadratic by definition; pass
+    explicit ids (or swap in lsh_topk/ivf_topk over tfidf_vectors)
+    for the corpus-scale shape."""
+    from triplestore_spark.operators.similarity import brute_force_topk
+
+    vecs = tfidf_vectors(
+        build_text_index(docs, id_col=id_col, text_col=text_col), dim=dim
+    )
+    if query_ids is None:
+        query_ids = [r["id"] for r in vecs.select("id").collect()]
+    return brute_force_topk(
+        vecs, query_ids, k=k, id_col="id", vec_col="vector"
+    )
+
+
+def tfidf_vectors_py(
+    docs: dict[str, str], dim: int = 256
+) -> dict[str, list[float]]:
+    """Independent pure-Python hashed TF-IDF — the test oracle
+    (hashlib.md5 + math.log, no shared code with the Spark path)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    tok = {i: re.findall(TOKEN_PATTERN, t.lower()) for i, t in docs.items()}
+    n = len(tok)
+    dfreq: Counter = Counter()
+    for terms in tok.values():
+        dfreq.update(set(terms))
+    out: dict[str, list[float]] = {}
+    for i, terms in tok.items():
+        if not terms:
+            continue
+        vec = [0.0] * dim
+        tf = Counter(terms)
+        for t, c in tf.items():
+            s = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            vec[s] += c * idf
+        out[i] = vec
+    return out
+
+
 # -- persisted index (build once, query many) -------------------------
 
 INDEX_FILE = "index.json"
