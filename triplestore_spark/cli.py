@@ -37,9 +37,9 @@ def build_context(args) -> dict | None:
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="triplestore")
     ap.add_argument("-in", dest="informat", default="ntriples",
-                    choices=["ntriples", "bin", "auto"])
+                    choices=["ntriples", "bin", "auto", "turtle"])
     ap.add_argument("-out", dest="outformat", default="ntriples",
-                    choices=["ntriples", "bin", "dot"])
+                    choices=["ntriples", "bin", "dot", "turtle"])
     ap.add_argument("-files", required=True,
                     help="comma-separated paths or globs")
     ap.add_argument("-prefix", action="append",
@@ -62,8 +62,14 @@ def main(argv=None):
 
     from triplestore_spark.sources.binary import read_auto, read_binary
     from triplestore_spark.sources.ntriples import read_ntriples
+    from triplestore_spark.sources.turtle import read_turtle
 
-    readers = {"ntriples": read_ntriples, "bin": read_binary, "auto": read_auto}
+    readers = {
+        "ntriples": read_ntriples,
+        "bin": read_binary,
+        "auto": read_auto,
+        "turtle": read_turtle,
+    }
     paths = args.files.split(",")
     df = readers[args.informat](spark, paths)
 
@@ -90,6 +96,17 @@ def main(argv=None):
                 f.write(blob)
         else:
             sys.stdout.buffer.write(blob)
+    elif args.outformat == "turtle":
+        from triplestore_spark.sources.turtle import (
+            turtle_lines,
+            write_turtle,
+        )
+
+        if args.outdir:
+            write_turtle(df, args.outdir)
+        else:
+            for row in turtle_lines(df).sort("value").toLocalIterator():
+                sys.stdout.write(row["value"] + "\n")
     else:  # dot
         if not args.predicate:
             raise SystemExit("-out dot requires -predicate")
