@@ -143,6 +143,81 @@ def test_refusals():
         _rows("<s> <p> .")
 
 
+def _ttl_escape(s):
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def _render(rows):
+    """Independent pure-Python Turtle renderer for the property test
+    (shares no code with turtle_lines)."""
+    out = []
+    for sub, is_b, pred, kind, val, typ, lang in rows:
+        s = f"_:{sub}" if is_b else f"<{sub}>"
+        if kind == S.KIND_RESOURCE:
+            o = f"<{val}>"
+        elif kind == S.KIND_BNODE:
+            o = f"_:{val}"
+        elif lang:
+            o = f'"{_ttl_escape(val)}"@{lang}'
+        elif typ == S.XSD_STRING:
+            o = f'"{_ttl_escape(val)}"'
+        else:
+            o = f'"{_ttl_escape(val)}"^^<{typ}>'
+        out.append(f"{s} <{pred}> {o} .")
+    return "\n".join(out)
+
+
+def test_parser_roundtrip_property():
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ident = st.text(
+        alphabet=string.ascii_letters + string.digits + ":/#?&%+-_.~",
+        min_size=1,
+        max_size=30,
+    )
+    label = st.from_regex(r"[A-Za-z0-9_][A-Za-z0-9_-]{0,20}", fullmatch=True)
+    lit = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+    lang = st.from_regex(
+        r"[a-zA-Z]{1,6}(-[a-zA-Z0-9]{1,4})?", fullmatch=True
+    )
+    typ = st.sampled_from(
+        ["xsd:string", "xsd:integer", "xsd:boolean", "myinteger"]
+    )
+
+    @st.composite
+    def row(draw):
+        is_b = draw(st.booleans())
+        sub = draw(label) if is_b else draw(ident)
+        pred = draw(ident)
+        kind = draw(st.sampled_from([S.KIND_RESOURCE, S.KIND_BNODE,
+                                     S.KIND_LITERAL]))
+        if kind == S.KIND_RESOURCE:
+            return (sub, is_b, pred, kind, draw(ident), "", "")
+        if kind == S.KIND_BNODE:
+            return (sub, is_b, pred, kind, draw(label), "", "")
+        if draw(st.booleans()):
+            return (sub, is_b, pred, kind, draw(lit), S.XSD_STRING,
+                    draw(lang))
+        return (sub, is_b, pred, kind, draw(lit), draw(typ), "")
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(row(), min_size=1, max_size=6))
+    def check(rows):
+        assert parse_turtle_text(_render(rows)) == rows
+
+    check()
+
+
 def test_nt_subset_differential(spark, tmp_path):
     """A document in the NT-compatible subset parses identically to
     the NT decoder (modulo the NT typed-literal verbatim quirk —
