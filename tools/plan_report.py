@@ -275,6 +275,32 @@ def main():
         )
     )
 
+    # round-6: full-text search — the query side broadcasts onto the
+    # postings; nothing after tokenization carries document text
+    from triplestore_spark.operators.text_search import (
+        bm25_search,
+        build_text_index,
+        tfidf_vectors,
+    )
+
+    txt_idx = build_text_index(docs.select("doc_id", "text"))
+    sections.append(
+        (
+            "BM25 top-k search (query terms BroadcastExchange onto the "
+            "postings; shuffles carry (qid, id, partial score) — never "
+            "text)",
+            fmt(bm25_search(txt_idx, ["data spark stream"], k=5)),
+        )
+    )
+    sections.append(
+        (
+            "Hashed TF-IDF document vectors (one term join + one "
+            "(id, slot) aggregation; the dense vector materializes "
+            "only in the final projection)",
+            fmt(tfidf_vectors(txt_idx, dim=64)),
+        )
+    )
+
     out = ["# PLANS.md — physical plans of the headline operators\n"]
     out.append(
         "Generated by tools/plan_report.py; regenerate after plan-"
