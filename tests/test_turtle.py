@@ -303,6 +303,27 @@ def test_writer_roundtrip(spark, tmp_path):
     assert got == want
 
 
+def test_read_auto_routes_turtle(spark, tmp_path):
+    from triplestore_spark.sources.binary import (
+        is_turtle_format,
+        read_auto,
+    )
+
+    assert is_turtle_format(b"@prefix ex: <http://e/> .")
+    assert is_turtle_format(b"# c\n  PREFIX ex: <http://e/>")
+    assert is_turtle_format(b"<s> <p> <o> .", "x.TTL")
+    assert not is_turtle_format(b"<s> <p> <o> .", "x.nt")
+    (tmp_path / "a.ttl").write_text(
+        "@prefix ex: <http://example.org/> .\nex:s ex:p 1 .\n"
+    )
+    (tmp_path / "b.nt").write_text("<s2> <p2> <o2> .\n")
+    rows = {
+        (r["subject"], r["object_value"])
+        for r in read_auto(spark, str(tmp_path / "*")).collect()
+    }
+    assert rows == {(EX + "s", "1"), ("s2", "o2")}
+
+
 def test_writer_groups_by_subject(spark):
     from triplestore_spark.dsl import Obj, Triple, triples_to_df
 
