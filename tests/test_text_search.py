@@ -258,6 +258,72 @@ def test_persisted_index_partition_pruning(spark, tmp_path):
     assert "PushedFilters" in plan
 
 
+def test_incremental_update_equals_full_rebuild(spark, tmp_path):
+    from triplestore_spark.operators.text_search import (
+        load_text_index,
+        save_text_index,
+        update_text_index,
+    )
+
+    first = {k: DOCS[k] for k in ("d1", "d2", "d3")}
+    second = {k: DOCS[k] for k in ("d4", "d5", "d6")}
+    p_inc = str(tmp_path / "inc")
+    save_text_index(_index(spark, first), p_inc, n_buckets=8)
+    updated = update_text_index(
+        load_text_index(spark, p_inc),
+        spark.createDataFrame(
+            list(second.items()), "doc_id string, text string"
+        ),
+    )
+    p_full = str(tmp_path / "full")
+    full = save_text_index(_index(spark, DOCS), p_full, n_buckets=8)
+
+    assert updated.n_docs == full.n_docs == 6
+    assert updated.avgdl == pytest.approx(full.avgdl)
+
+    def rows(idx, df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(updated, updated.postings, ["id", "term", "tf", "dl"]) == \
+        rows(full, full.postings, ["id", "term", "tf", "dl"])
+    assert rows(updated, updated.term_stats, ["term", "df"]) == \
+        rows(full, full.term_stats, ["term", "df"])
+
+    queries = {"a": "quick fox", "b": "the dog barked", "c": "lorem"}
+    got = sorted(
+        (r["qid"], r["id"], r["rank"], round(r["score"], 12))
+        for r in bm25_search(updated, queries, k=10).collect()
+    )
+    want = sorted(
+        (r["qid"], r["id"], r["rank"], round(r["score"], 12))
+        for r in bm25_search(full, queries, k=10).collect()
+    )
+    assert got == want
+
+    # reload from disk sees the merged state too
+    reloaded = load_text_index(spark, p_inc)
+    assert reloaded.n_docs == 6
+    assert reloaded.postings.count() == full.postings.count()
+
+
+def test_incremental_update_refuses_id_overlap(spark, tmp_path):
+    from triplestore_spark.operators.text_search import (
+        save_text_index,
+        update_text_index,
+    )
+
+    p = str(tmp_path / "ov")
+    idx = save_text_index(_index(spark), p, n_buckets=4)
+    dup = spark.createDataFrame(
+        [("d1", "already there")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        update_text_index(idx, dup)
+    # empty delta is a no-op
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    assert update_text_index(idx, empty) is idx
+
+
 def test_persisted_index_pattern_mismatch_refused(spark, tmp_path):
     import json
 

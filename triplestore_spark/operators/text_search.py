@@ -429,6 +429,93 @@ def save_text_index(
     return PersistedTextIndex(spark, path, meta)
 
 
+def update_text_index(
+    index: PersistedTextIndex,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    check_ids: bool = True,
+) -> PersistedTextIndex:
+    """Append documents to a persisted index in place — the serving
+    shape's maintenance half (build once, append forever, query
+    many). Only the term-hash buckets the NEW documents touch are
+    rewritten (dynamic partition overwrite: existing bucket rows
+    union the delta and re-land; untouched buckets are never read or
+    written), so update cost scales with the delta's vocabulary, not
+    the index size. Scalars merge exactly (n_docs adds; avgdl is the
+    size-weighted mean). Append-only by contract: re-ingesting an
+    existing id would double-count its terms, so `check_ids=True`
+    (default) refuses on overlap — one semi-join against the
+    (id, dl)-distinct side, skippable when the caller's pipeline
+    already guarantees fresh ids."""
+    import json
+
+    from triplestore_spark.streaming.ingest import fs_write_text
+
+    spark = index._spark
+    delta = build_text_index(new_docs, id_col=id_col, text_col=text_col)
+    if delta.n_docs == 0:
+        return index
+    if check_ids:
+        overlap = (
+            delta.postings.select("id")
+            .distinct()
+            .join(index.postings.select("id"), on="id", how="left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "update_text_index: new_docs re-uses ids already in "
+                "the index (append-only contract); dedup upstream or "
+                "pass check_ids=False if the overlap is intentional"
+            )
+    nb = int(index.meta["n_buckets"])
+    dpost = delta.postings.withColumn("bucket", _bucket_col(nb))
+    dstats = delta.term_stats.withColumn("bucket", _bucket_col(nb))
+    buckets = [
+        r["bucket"] for r in dpost.select("bucket").distinct().collect()
+    ]
+
+    # merge = existing rows of the touched buckets + delta rows;
+    # term_stats adds document frequencies on the shared terms
+    post_merged = index.postings.where(
+        F.col("bucket").isin(buckets)
+    ).unionByName(dpost)
+    stats_merged = (
+        index.term_stats.where(F.col("bucket").isin(buckets))
+        .unionByName(dstats)
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").alias("df"))
+    )
+
+    def _rewrite(df: DataFrame, sub: str) -> None:
+        (
+            df.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(os.path.join(index._path, sub))
+        )
+
+    # the merged frames read the same files the write replaces —
+    # materialize them first (collect-free: localCheckpoint keeps the
+    # rows on executors, cut from the file lineage)
+    post_merged = post_merged.localCheckpoint(eager=True)
+    stats_merged = stats_merged.localCheckpoint(eager=True)
+    _rewrite(post_merged, POSTINGS_DIR)
+    _rewrite(stats_merged, TERM_STATS_DIR)
+
+    n0, n1 = index.n_docs, delta.n_docs
+    meta = dict(index.meta)
+    meta["n_docs"] = n0 + n1
+    meta["avgdl"] = (index.avgdl * n0 + delta.avgdl * n1) / (n0 + n1)
+    fs_write_text(
+        spark, os.path.join(index._path, INDEX_FILE), json.dumps(meta)
+    )
+    return PersistedTextIndex(spark, index._path, meta)
+
+
 def load_text_index(spark: SparkSession, path: str) -> PersistedTextIndex:
     import json
 
