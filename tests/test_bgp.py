@@ -473,6 +473,92 @@ def test_bgp_anti_optional_randomized_differential(spark, seed):
     assert 0 < kept < plain  # the anti group actually bites
 
 
+# -- exists groups (FILTER EXISTS) -----------------------------------
+
+
+def test_bgp_exists_hand_exact(hand_graph):
+    """?d mentions ?e FILTER EXISTS { ?d kg:source src:web }: only
+    mentions from web-sourced docs survive — and a doc with several
+    witnesses in the group is NOT duplicated (semi-join)."""
+    got = _spark_rows(
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            exists=[[("?d", "kg:source", "src:web")]],
+        )
+    )
+    assert got == [("<doc:1>", "<e:spark>")]
+    con = _duck(HAND)
+    want = _duck_rows(
+        con,
+        bgp_match_sql(
+            [("?d", "kg:mentions", "?e")],
+            exists=[[("?d", "kg:source", "src:web")]],
+        ),
+    )
+    assert got == want
+    # multi-witness no-duplication: ?d mentions ?e EXISTS { ?d
+    # kg:mentions ?x } — doc:2 has TWO witnesses (spark, duck) but
+    # each of its solutions appears once, bag semantics included
+    bag = bgp_match(
+        hand_graph,
+        [("?d", "kg:mentions", "?e")],
+        exists=[[("?d", "kg:mentions", "?x")]],
+        distinct=False,
+    )
+    plain = bgp_match(
+        hand_graph, [("?d", "kg:mentions", "?e")], distinct=False
+    )
+    assert _spark_rows(bag) == _spark_rows(plain)
+
+
+def test_bgp_exists_not_well_designed_refused(hand_graph):
+    with pytest.raises(ValueError, match="exists group 0 shares no"):
+        bgp_match(
+            hand_graph,
+            [("?d", "kg:mentions", "?e")],
+            exists=[[("?q", "rdf:type", "?t")]],
+        )
+    with pytest.raises(ValueError, match="exists group 0 shares no"):
+        bgp_match_sql(
+            [("?d", "kg:mentions", "?e")],
+            exists=[[("?q", "rdf:type", "?t")]],
+        )
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_bgp_exists_randomized_differential(spark, seed):
+    """exists ∪ anti on the SAME group partition the required bag
+    exactly, and the composed exists+anti+optional plan == DuckDB."""
+    rows = _random_rows(seed)
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    con = _duck(rows)
+    req = [("?x", "p0", "?y")]
+    grp = [[("?y", "p3", "?v")]]
+    optional = [[("?x", "p2", "?w")]]
+    for distinct in (True, False):
+        a = _rows_nullsafe(
+            bgp_match(
+                g, req, exists=grp, anti=[[("?x", "p1", "?u")]],
+                optional=optional, distinct=distinct,
+            ).collect()
+        )
+        b = _rows_nullsafe(
+            con.execute(
+                bgp_match_sql(
+                    req, exists=grp, anti=[[("?x", "p1", "?u")]],
+                    optional=optional, distinct=distinct,
+                )
+            ).fetchall()
+        )
+        assert a == b, (seed, distinct)
+    plain = bgp_match(g, req, distinct=False).count()
+    semi = bgp_match(g, req, exists=grp, distinct=False).count()
+    anti = bgp_match(g, req, anti=grp, distinct=False).count()
+    assert semi + anti == plain  # exact complement, bag semantics
+    assert 0 < semi < plain  # the group actually bites both ways
+
+
 # -- parse_bgp string front-end (pure python) ------------------------
 
 
@@ -998,6 +1084,81 @@ def test_bgp_filter_errors(priced_graph):
         bgp_match(priced_graph, pats, filters=[("?zz", "=", 1)])
     with pytest.raises(ValueError, match="needs an explicit"):
         bgp_match(priced_graph, pats, filters=[("?p", ">", 100)])
+
+
+def test_bgp_filter_var_vs_var_typed(priced_graph):
+    """('?p', '<', '?q', 'xsd:integer') compares two bindings through
+    the same typed decode; tag-mismatch rows (the xsd:double price)
+    drop, per the constant-side rule. Expected set hand-derived from
+    PRICED independently of the engine."""
+    pats = [
+        ("?i", "kg:price", "?p"), ("?i", "kg:cat", "cat:a"),
+        ("?j", "kg:price", "?q"), ("?j", "kg:cat", "cat:b"),
+    ]
+    got = _spark_rows(
+        bgp_match(
+            priced_graph, pats,
+            filters=[("?p", "<", "?q", "xsd:integer")],
+        ).select("i", "j")
+    )
+    # cat:a prices: item:1=50, item:2=150; cat:b: item:3=250 (int),
+    # item:4=150.5 (double -> NULL under xsd:integer, drops)
+    assert got == [
+        ("<item:1>", "<item:3>"),
+        ("<item:2>", "<item:3>"),
+    ]
+
+
+def test_bgp_filter_var_vs_var_sameterm(priced_graph):
+    """Untyped ?x = ?y / != is sameTerm over the node keys: 'Alpha'
+    and 'alpha' are different terms (no case folding), an IRI never
+    equals a literal."""
+    pats = [("?a", "kg:label", "?x"), ("?b", "kg:label", "?y")]
+    eq = _spark_rows(
+        bgp_match(priced_graph, pats, filters=[("?x", "=", "?y")])
+        .select("a", "b")
+    )
+    # labels are pairwise-distinct terms -> identity pairs only
+    assert eq == [
+        ("<item:1>", "<item:1>"),
+        ("<item:2>", "<item:2>"),
+        ("<item:3>", "<item:3>"),
+    ]
+    ne = bgp_match(
+        priced_graph, pats, filters=[("?x", "!=", "?y")]
+    ).count()
+    assert ne == 6  # 3x3 pairs minus the 3 identity ones
+
+
+def test_bgp_filter_var_vs_var_theta_join_plan(priced_graph):
+    """Two components linked only by a var-var filter cross-join, but
+    the optimized plan carries the comparison ON the cross join (a
+    theta-join), never an unconditioned cartesian."""
+    df = bgp_match(
+        priced_graph,
+        [
+            ("?i", "kg:price", "?p"), ("?i", "kg:cat", "cat:a"),
+            ("?j", "kg:price", "?q"), ("?j", "kg:cat", "cat:b"),
+        ],
+        filters=[("?p", "<", "?q", "xsd:integer")],
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    cross = [
+        line for line in plan.splitlines() if "Join Cross" in line
+    ]
+    assert cross, plan
+    for line in cross:  # every cross carries a condition
+        assert "Join Cross, (" in line, line
+
+
+def test_bgp_filter_var_vs_var_errors(priced_graph):
+    pats = [("?i", "kg:price", "?p"), ("?i", "kg:label", "?l")]
+    with pytest.raises(ValueError, match="needs an explicit"):
+        bgp_match(priced_graph, pats, filters=[("?p", ">", "?l")])
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_match(priced_graph, pats, filters=[("?p", "=", "?zz")])
+    with pytest.raises(ValueError, match="regex pattern must be"):
+        bgp_match(priced_graph, pats, filters=[("?l", "regex", "?p")])
 
 
 def test_bgp_filter_pushed_below_join(spark, tmp_path):

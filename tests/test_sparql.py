@@ -157,6 +157,58 @@ def test_minus_and_not_exists_agree(g):
     assert rows(q1) == rows(q2) == rows(want)
 
 
+def test_filter_exists_positive(g):
+    """FILTER EXISTS is the semi-join twin: it keeps exactly the
+    complement of FILTER NOT EXISTS, and compiles to bgp_match's
+    exists= kwarg."""
+    q = sparql_query(
+        g,
+        "SELECT ?d ?e WHERE { ?d kg:mentions ?e "
+        "FILTER EXISTS { ?d kg:source src:web } }",
+    )
+    want = bgp_match(
+        g,
+        [("?d", "kg:mentions", "?e")],
+        exists=[[("?d", "kg:source", "src:web")]],
+    )
+    assert rows(q) == rows(want) == [("<doc:1>", "<e:spark>")]
+    # complement: EXISTS + NOT EXISTS partition the solution set
+    neg = sparql_query(
+        g,
+        "SELECT ?d ?e WHERE { ?d kg:mentions ?e "
+        "FILTER NOT EXISTS { ?d kg:source src:web } }",
+    )
+    plain = sparql_query(g, "SELECT ?d ?e WHERE { ?d kg:mentions ?e }")
+    assert sorted(rows(q) + rows(neg)) == rows(plain)
+
+
+def test_filter_var_vs_var(g):
+    """Typed two-variable comparison (one cast is enough) and untyped
+    sameTerm equality through the text layer."""
+    q = sparql_query(
+        g,
+        "SELECT ?a ?b WHERE { ?a kg:words ?x . ?b kg:words ?y "
+        "FILTER(xsd:integer(?x) < xsd:integer(?y)) }",
+    )
+    # words: doc:1=120, doc:2=80, doc:3=220
+    assert rows(q) == [
+        ("<doc:1>", "<doc:3>"),
+        ("<doc:2>", "<doc:1>"),
+        ("<doc:2>", "<doc:3>"),
+    ]
+    eq = sparql_query(
+        g,
+        "SELECT ?a ?b WHERE { ?a kg:name ?x . ?b kg:name ?y "
+        "FILTER(?x = ?y) }",
+    )
+    # sameTerm: each of the 3 name literals equals only itself
+    assert rows(eq) == [
+        ("<e:duck>", "<e:duck>"),
+        ("<e:spark>", "<e:spark>"),
+        ("<e:spark>", "<e:spark>"),
+    ]
+
+
 def test_values_single_and_tuple(g):
     got = sparql_query(
         g,
@@ -473,8 +525,10 @@ def test_unsupported_constructs_named(g):
         ("SELECT * WHERE { BIND(1 AS ?x) }", "BIND"),
         ("SELECT * WHERE { ?s ?p ?o . { SELECT * WHERE { ?a ?b ?c } } }",
          "triples with nested"),
-        ("SELECT * WHERE { ?d kg:m ?e FILTER EXISTS { ?d kg:s ?x } }",
-         "EXISTS"),
+        ("SELECT ?a WHERE { ?a kg:m ?x . ?b kg:m ?y "
+         "FILTER(?x < ?y) }", "needs a"),
+        ("SELECT ?a WHERE { ?a kg:m ?x . ?b kg:m ?y "
+         "FILTER(xsd:integer(?x) < xsd:date(?y)) }", "different"),
         ("SELECT * WHERE { ?s ?p ?o } OFFSET 5", "OFFSET"),
         ("BASE <http://x/> SELECT * WHERE { ?s ?p ?o }", "BASE"),
         ("SELECT * WHERE { ?s ?p ?o } HAVING (?n > 1)", "HAVING"),

@@ -323,13 +323,26 @@ def compile_binding_filter(
     'regex' is an rlike over it; ordered comparisons REQUIRE a type
     (comparing lexical forms of unknown datatypes is a silent wrong
     answer, not a default). Non-matching kinds/tags decode to NULL and
-    drop, per SPARQL filter-error semantics."""
+    drop, per SPARQL filter-error semantics.
+
+    `value` may be another VARIABLE ('?m') — SPARQL's ?a op ?b form.
+    With a type, both keys decode through the same typed cast and the
+    cast values compare; without one, '='/'!=' compare the NODE KEYS
+    themselves (sameTerm semantics — an IRI never equals a literal
+    with the same lexical form), and ordered comparisons are refused
+    exactly as for constants. 'regex' needs a constant pattern."""
     from triplestore_spark.functions.typed import parse_typed_col
     from triplestore_spark.schema import XSD_DATETIME
 
     key = F.col(var_col) if isinstance(var_col, str) else var_col
     _, _, val, vtyp, _ = parse_node_key(key)
+    rhs_var = isinstance(value, str) and value.startswith("?")
     if op == "regex":
+        if rhs_var:
+            raise ValueError(
+                "bgp filter: regex pattern must be a constant, not a "
+                f"variable ({value!r})"
+            )
         if typ is not None:
             return (vtyp == typ) & val.rlike(value)
         return val.rlike(value)
@@ -337,12 +350,18 @@ def compile_binding_filter(
         raise ValueError(f"bgp filter: unknown op {op!r}")
     if typ is None:
         if op in ("=", "==", "!="):
+            if rhs_var:
+                # sameTerm: the canonical node keys ARE term identity
+                return _FILTER_OPS[op](key, F.col(_var(value)))
             return _FILTER_OPS[op](val, F.lit(value))
         raise ValueError(
             f"bgp filter: ordered comparison {op!r} needs an explicit "
             "xsd type (e.g. ('?n', '>', 100, 'xsd:integer'))"
         )
     typed_val = parse_typed_col(val, vtyp, typ)
+    if rhs_var:
+        _, _, rval, rvtyp, _ = parse_node_key(F.col(_var(value)))
+        return _FILTER_OPS[op](typed_val, parse_typed_col(rval, rvtyp, typ))
     rhs = F.to_timestamp(F.lit(value)) if typ == XSD_DATETIME else F.lit(value)
     return _FILTER_OPS[op](typed_val, rhs)
 
@@ -411,6 +430,7 @@ def bgp_match(
     *,
     optional: Sequence[Sequence[Pattern] | str] | None = None,
     anti: Sequence[Sequence[Pattern] | str] | None = None,
+    exists: Sequence[Sequence[Pattern] | str] | None = None,
     filters: Sequence[tuple] | None = None,
     values: tuple | dict | None = None,
     allow_product: bool = False,
@@ -475,7 +495,14 @@ def bgp_match(
     shared variables are dropped (left-anti join — one shuffle-free
     broadcast when the group result is small, never a row explosion).
     Anti groups see the REQUIRED bindings only and bind no new output
-    columns; evaluation order is required -> anti -> optional.
+    columns; evaluation order is required -> exists/anti -> optional.
+
+    `exists` is the positive twin (SPARQL FILTER EXISTS): required
+    rows are KEPT iff the group matches on the shared variables — a
+    left-semi join, so the group can never duplicate solutions no
+    matter how many witnesses it has. Same well-designedness rule as
+    `anti` (>=1 shared variable, no new output columns); semi and
+    anti restrictions commute, so their relative order is free.
 
     Over a MaterializedGraph each pattern scans the LAYOUT whose sort
     prefix matches its constant positions (subject const -> SPO,
@@ -493,6 +520,10 @@ def bgp_match(
         ]
     if anti is not None:
         anti = [parse_bgp(g) if isinstance(g, str) else g for g in anti]
+    if exists is not None:
+        exists = [
+            parse_bgp(g) if isinstance(g, str) else g for g in exists
+        ]
     if not patterns:
         raise ValueError("bgp_match: no patterns")
 
@@ -545,6 +576,7 @@ def bgp_match(
     # seeding); multi-pattern variables filter after the required
     # joins. Filters see required-BGP variables only.
     post_filters: list[Column] = []
+    filter_links: list[tuple[str, str]] = []
     for spec in filters or ():
         if len(spec) == 3:
             fvar, fop, fval, ftyp = *spec, None
@@ -562,6 +594,25 @@ def bgp_match(
                 "required patterns"
             )
         cond = compile_binding_filter(v, fop, fval, ftyp)
+        if isinstance(fval, str) and fval.startswith("?"):
+            # two-variable comparison: both sides must be bound; it
+            # can only run once a row carries both columns, so it is
+            # always a post-join filter (a same-pattern co-binding is
+            # the one pushable case and not worth a special path)
+            rv = _var(fval)
+            if not any(rv in s[1] for s in scans):
+                raise ValueError(
+                    f"bgp filter: variable {fval!r} is not bound by "
+                    "the required patterns"
+                )
+            post_filters.append(cond)
+            # the comparison LINKS the two variables' patterns: two
+            # components joined only by it are a theta-join (SPARQL
+            # allows it), not an unconstrained cartesian — record the
+            # link so the join planner may cross the components and
+            # let Catalyst fold this filter into the join condition
+            filter_links.append((v, rv))
+            continue
         if len(holders) == 1:
             i = holders[0]
             scan, vars_, n_const = scans[i]
@@ -623,6 +674,20 @@ def bgp_match(
                 pick = i
                 break
         if pick is None:
+            # no equi-connected scan: a var-var FILTER linking the
+            # bound set to a pending scan still constrains the pair
+            # (theta-join) — permit that cross; the post-filter lands
+            # directly above it and Catalyst rewrites Filter-over-
+            # CrossJoin into a conditioned join
+            for i, (scan, vars_, _) in enumerate(pending):
+                vs = set(vars_)
+                if any(
+                    (a in bound and b in vs) or (b in bound and a in vs)
+                    for a, b in filter_links
+                ):
+                    pick = i
+                    break
+        if pick is None:
             if not allow_product:
                 raise ValueError(
                     "bgp_match: disconnected patterns would form a "
@@ -643,18 +708,20 @@ def bgp_match(
             how="inner",
         ).drop("_g")
 
-    if anti:
-        for gi, group in enumerate(anti):
+    for kind, groups, how in (
+        ("exists", exists, "left_semi"),
+        ("anti", anti, "left_anti"),
+    ):
+        for gi, group in enumerate(groups or ()):
             gdf = bgp_match(graph, group, distinct=False,
                             allow_product=allow_product)
             shared = sorted(set(bound) & set(gdf.columns))
             if not shared:
                 raise ValueError(
-                    f"bgp_match: anti group {gi} shares no variable "
+                    f"bgp_match: {kind} group {gi} shares no variable "
                     "with the required patterns (not well-designed)"
                 )
-            cur = cur.join(gdf.select(*shared), on=shared,
-                           how="left_anti")
+            cur = cur.join(gdf.select(*shared), on=shared, how=how)
 
     if optional:
         required_vars = set(bound)
@@ -1174,6 +1241,7 @@ def bgp_match_sql(
     *,
     optional: Sequence[Sequence[Pattern] | str] | None = None,
     anti: Sequence[Sequence[Pattern] | str] | None = None,
+    exists: Sequence[Sequence[Pattern] | str] | None = None,
     values: tuple | dict | None = None,
     distinct: bool = True,
 ) -> str:
@@ -1182,7 +1250,8 @@ def bgp_match_sql(
     it verbatim). Same node-key semantics, same join graph, expressed
     as self-joins instead of the DataFrame plan. `optional` groups
     become LEFT JOINs of the group's own BGP subquery on the shared
-    variables and `anti` groups correlated NOT EXISTS predicates,
+    variables, `anti` groups correlated NOT EXISTS predicates, and
+    `exists` groups correlated EXISTS predicates,
     mirroring bgp_match's well-designed-pattern semantics (the same
     validation errors are raised). `values` becomes a JOIN against an
     inline VALUES table with NULL-as-UNDEF wildcard conditions."""
@@ -1198,7 +1267,8 @@ def bgp_match_sql(
                 "the required patterns"
             )
         inner = bgp_match_sql(
-            patterns, table, optional=optional, anti=anti, distinct=False
+            patterns, table, optional=optional, anti=anti,
+            exists=exists, distinct=False,
         )
         rows_sql = ", ".join(
             "("
@@ -1223,6 +1293,10 @@ def bgp_match_sql(
         ]
     if anti is not None:
         anti = [parse_bgp(g) if isinstance(g, str) else g for g in anti]
+    if exists is not None:
+        exists = [
+            parse_bgp(g) if isinstance(g, str) else g for g in exists
+        ]
     for pat in patterns:
         if len(pat) == 3 and _is_path_pred(pat[1]):
             raise ValueError(
@@ -1230,16 +1304,16 @@ def bgp_match_sql(
                 "self-join SQL form — use property_path_sql for the "
                 "path and join it in"
             )
-    if optional or anti:
+    if optional or anti or exists:
         return _bgp_composite_sql(
-            patterns, optional or [], anti or [],
+            patterns, optional or [], anti or [], exists or [],
             table=table, distinct=distinct,
         )
     if not patterns:
         raise ValueError("no patterns")
     var_order: list[str] = []
     wheres: list[str] = []
-    exists: list[str] = []
+    gates: list[str] = []
     selects: dict[str, str] = {}
     aliases: list[str] = []
     for i, (s, p, o) in enumerate(patterns):
@@ -1258,7 +1332,7 @@ def bgp_match_sql(
             )
             if ob.kind == "lit" and not ob.lang:
                 gate_wheres.append(f"{a}.object_type = {_sql_str(ob.typ)}")
-            exists.append(
+            gates.append(
                 "EXISTS (SELECT 1 FROM "
                 + table
                 + f" {a} WHERE "
@@ -1297,7 +1371,7 @@ def bgp_match_sql(
     kw = "DISTINCT " if distinct else ""
     cols = ", ".join(f"{selects[v]} AS {v}" for v in var_order)
     frm = ", ".join(f"{table} {a}" for a in aliases)
-    conds = [f"({w})" for w in wheres] + exists
+    conds = [f"({w})" for w in wheres] + gates
     where = " AND ".join(conds) if conds else "TRUE"
     return f"SELECT {kw}{cols} FROM {frm} WHERE {where}"
 
@@ -1316,36 +1390,43 @@ def _bgp_composite_sql(
     patterns: Sequence[Pattern],
     optional: Sequence[Sequence[Pattern]],
     anti: Sequence[Sequence[Pattern]],
+    exists: Sequence[Sequence[Pattern]] = (),
     *,
     table: str,
     distinct: bool,
 ) -> str:
     """Required BGP subquery, filtered by one correlated NOT EXISTS
-    per anti group, LEFT-JOINed with one subquery per optional group
-    on their shared variables — the relational twin of bgp_match's
-    anti/optional path, with identical well-designedness checks so
-    both compilers refuse the same inputs. (The WHERE runs on
-    required-side columns only, so filtering after the left joins is
-    equivalent to bgp_match's required -> anti -> optional order.)"""
+    per anti group (EXISTS per exists group), LEFT-JOINed with one
+    subquery per optional group on their shared variables — the
+    relational twin of bgp_match's exists/anti/optional path, with
+    identical well-designedness checks so both compilers refuse the
+    same inputs. (The WHERE runs on required-side columns only, so
+    filtering after the left joins is equivalent to bgp_match's
+    required -> exists/anti -> optional order, and a correlated
+    EXISTS never duplicates solutions — same guarantee as the
+    DataFrame side's left-semi join.)"""
     req_vars = _pattern_vars(patterns)
     req_sql = bgp_match_sql(patterns, table, distinct=False)
     var_order = list(req_vars)
     claimed: set[str] = set()
     joins: list[str] = []
     not_exists: list[str] = []
-    for gi, group in enumerate(anti):
-        gvars = _pattern_vars(group)
-        shared = sorted(set(req_vars) & set(gvars))
-        if not shared:
-            raise ValueError(
-                f"bgp_match: anti group {gi} shares no variable "
-                "with the required patterns (not well-designed)"
+    for kind, groups, neg in (("exists", exists, ""),
+                              ("anti", anti, "NOT ")):
+        for gi, group in enumerate(groups):
+            gvars = _pattern_vars(group)
+            shared = sorted(set(req_vars) & set(gvars))
+            if not shared:
+                raise ValueError(
+                    f"bgp_match: {kind} group {gi} shares no variable "
+                    "with the required patterns (not well-designed)"
+                )
+            g_sql = bgp_match_sql(group, table, distinct=False)
+            al = f"{kind[0]}{gi}"
+            on = " AND ".join(f"{al}.{v} = req.{v}" for v in shared)
+            not_exists.append(
+                f"{neg}EXISTS (SELECT 1 FROM ({g_sql}) {al} WHERE {on})"
             )
-        g_sql = bgp_match_sql(group, table, distinct=False)
-        on = " AND ".join(f"a{gi}.{v} = req.{v}" for v in shared)
-        not_exists.append(
-            f"NOT EXISTS (SELECT 1 FROM ({g_sql}) a{gi} WHERE {on})"
-        )
     for gi, group in enumerate(optional):
         gvars = _pattern_vars(group)
         shared = sorted(set(req_vars) & set(gvars))

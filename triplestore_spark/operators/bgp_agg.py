@@ -402,7 +402,8 @@ def bgp_union_sql(
         bound = set(_pattern_vars(arm_pats))
         inner = bgp_match_sql(
             pats, table,
-            optional=opt, anti=g.get("anti"), values=g.get("values"),
+            optional=opt, anti=g.get("anti"), exists=g.get("exists"),
+            values=g.get("values"),
             distinct=False,
         )
         cols = ", ".join(

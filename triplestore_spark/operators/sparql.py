@@ -26,16 +26,18 @@ Supported grammar (case-insensitive keywords)::
 
     group    := triples and any of:
                   OPTIONAL { triples }
-                  MINUS { triples } | FILTER NOT EXISTS { triples }
+                  MINUS { triples } | FILTER [NOT] EXISTS { triples }
                   FILTER ( constraint ) | FILTER regex(?v, "re")
                   VALUES ?v { terms } | VALUES (?a ?b) { (t t) ... }
                 or  { group } UNION { group } [UNION ...]
     triples  := s p o [, o ...] [; p o ...] .  with property paths
                 in the predicate position: p1/p2, ^p, p1|p2, p*, p+,
                 p?, p{m,n}, !(p1|p2), (p1|p2)*, a  (rdf:type)
-    constraint := operand op operand where one operand is ?v or
-                xsd:T(?v), the other a literal; op in
-                < <= > >= = != ; regex(?v, "re")
+    constraint := operand op operand where an operand is ?v,
+                xsd:T(?v), or a literal (at least one a variable);
+                op in < <= > >= = != ; regex(?v, "re").
+                ?a = ?b without casts is sameTerm over node keys;
+                ordered ?a < ?b needs a cast on at least one side
     AGG      := COUNT(*) | COUNT([DISTINCT] ?v) | SAMPLE(?v) |
                 GROUP_CONCAT(?v [; SEPARATOR="s"]) |
                 SUM|AVG|MIN|MAX(xsd:T(?v))   (the cast names the
@@ -44,7 +46,7 @@ Supported grammar (case-insensitive keywords)::
                 typed aggregates REQUIRE it, same as the Python API)
 
 Deliberate subset boundaries (each raises SparqlParseError naming
-the construct): subqueries, EXISTS as a positive filter, BIND,
+the construct): subqueries, BIND,
 OFFSET, property paths that don't factor into the engine's
 sequence-of-(alternation+quantifier) steps (e.g. (p1/p2)* — closure
 over a sequence), FILTER inside OPTIONAL, mixing triples with UNION
@@ -596,6 +598,7 @@ class _Parser:
             "patterns": [],
             "optional": [],
             "anti": [],
+            "exists": [],
             "filters": [],
             "values": None,
         }
@@ -603,6 +606,7 @@ class _Parser:
             if self.take_word("OPTIONAL"):
                 sub = self._parse_group()
                 if "union" in sub or sub["optional"] or sub["anti"] \
+                        or sub["exists"] \
                         or sub["filters"] or sub["values"] is not None:
                     raise self.error(
                         "OPTIONAL groups support plain triple "
@@ -645,6 +649,7 @@ class _Parser:
     def _parse_plain_subgroup(self, what: str) -> list:
         sub = self._parse_group()
         if "union" in sub or sub["optional"] or sub["anti"] \
+                or sub["exists"] \
                 or sub["filters"] or sub["values"] is not None:
             raise self.error(
                 f"{what} groups support plain triple patterns only"
@@ -656,12 +661,9 @@ class _Parser:
             self.expect_word("EXISTS")
             g["anti"].append(self._parse_plain_subgroup("FILTER NOT EXISTS"))
             return
-        if self.at_word("EXISTS"):
-            raise self.error(
-                "positive FILTER EXISTS is not supported (it is a "
-                "semi-join the engine doesn't expose; NOT EXISTS and "
-                "plain patterns are)"
-            )
+        if self.take_word("EXISTS"):
+            g["exists"].append(self._parse_plain_subgroup("FILTER EXISTS"))
+            return
         if self.at_word("REGEX"):
             g["filters"].append(self._parse_regex())
             return
@@ -699,7 +701,26 @@ class _Parser:
         op = self._parse_comparator()
         right = self._parse_filter_operand()
         if left[0] == "var" and right[0] == "var":
-            raise self.error("FILTER comparing two variables is not supported")
+            # var-vs-var: '='/'!=' without casts is sameTerm over the
+            # node keys; ordered comparison needs a cast naming the
+            # shared type (a cast on one side is enough — the engine
+            # decodes both through it)
+            _, lv, lt = left
+            _, rv, rt = right
+            if lt and rt and lt != rt:
+                raise self.error(
+                    "FILTER casts the two variables to different "
+                    f"types ({lt} vs {rt})"
+                )
+            typ = lt or rt
+            if typ is None and op not in ("=", "!="):
+                raise self.error(
+                    "ordered FILTER between two variables needs a "
+                    "cast (e.g. xsd:integer(?a) < xsd:integer(?b))"
+                )
+            if typ is not None:
+                return ("?" + lv, op, "?" + rv, typ)
+            return ("?" + lv, op, "?" + rv)
         if right[0] == "var":  # const OP var -> flip
             left, right, op = right, left, self._FLIP[op]
         if left[0] != "var":
@@ -1146,6 +1167,8 @@ def _match_kwargs(g: dict) -> dict:
         kw["optional"] = g["optional"]
     if g["anti"]:
         kw["anti"] = g["anti"]
+    if g.get("exists"):
+        kw["exists"] = g["exists"]
     if g["filters"]:
         kw["filters"] = g["filters"]
     if g["values"] is not None:
