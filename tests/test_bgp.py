@@ -1445,3 +1445,101 @@ def test_bgp_values_membership_pushed_below_join(spark, tmp_path):
     join_at = plan.index("Join")
     memb_at = plan.index("e:spark")
     assert memb_at > join_at, plan
+
+
+# -- BIND (compile_bind_expr) + OPTIONAL-with-FILTER -------------------
+
+
+def test_bgp_bind_forms(priced_graph):
+    """Every compile_bind_expr form yields canonical node keys that
+    downstream operators cannot tell from matched ones."""
+    pats = [("?i", "kg:price", "?p")]
+    got = _spark_rows(
+        bgp_match(
+            priced_graph, pats,
+            bind={
+                "?alias": ("var", "?p"),
+                "?k": ("const", "<cat:x>"),
+                "?s": ("str", "?i"),
+                "?tag": ("concat", [("lit", "p="), ("str", "?p")]),
+                "?twice": ("arith", "*", ("cast", "?p"), ("num", 2),
+                           S.XSD_INTEGER),
+            },
+        ).where("i = '<item:1>'")
+    )
+    assert got == [(
+        "<item:1>", '"50"^^<xsd:integer>',
+        '"50"^^<xsd:integer>', "<cat:x>", '"item:1"^^<>',
+        '"p=50"^^<>', '"100"^^<xsd:integer>',
+    )]
+
+
+def test_bgp_bind_error_as_unbound(priced_graph):
+    """Arithmetic over a tag-mismatched literal (xsd:double under an
+    xsd:integer cast) binds NULL, per SPARQL error-as-unbound."""
+    got = dict(_spark_rows(
+        bgp_match(
+            priced_graph, [("?i", "kg:price", "?p")],
+            bind={"?t": ("arith", "+", ("cast", "?p"), ("num", 0),
+                         S.XSD_INTEGER)},
+        ).select("i", "t")
+    ))
+    assert got["<item:4>"] is None          # 150.5 is xsd:double
+    assert got["<item:1>"] == '"50"^^<xsd:integer>'
+
+
+def test_bgp_bind_validation(priced_graph):
+    pats = [("?i", "kg:price", "?p")]
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_match(priced_graph, pats, bind={"?p": ("var", "?i")})
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_match(priced_graph, pats, bind={"?x": ("str", "?nope")})
+    with pytest.raises(ValueError, match="xsd:integer only"):
+        bgp_match(
+            priced_graph, pats,
+            bind={"?x": ("arith", "+", ("cast", "?p"), ("num", 1),
+                         "xsd:double")},
+        )
+    with pytest.raises(ValueError, match="unknown spec form"):
+        bgp_match(priced_graph, pats, bind={"?x": ("nope", "?p")})
+
+
+def test_bgp_optional_filter_semantics(priced_graph):
+    """The arm filter prefilters the OPTIONAL group: required rows
+    always survive; the group binds only where the filter holds."""
+    got = dict(_spark_rows(
+        bgp_match(
+            priced_graph, [("?i", "kg:cat", "?c")],
+            optional=[{
+                "patterns": [("?i", "kg:price", "?p")],
+                "filters": [("?p", ">", 100, "xsd:integer")],
+            }],
+        ).select("i", "p")
+    ))
+    assert set(got) == {f"<item:{k}>" for k in "1234"}
+    assert got["<item:1>"] is None       # 50 fails the filter
+    assert got["<item:4>"] is None       # double, tag mismatch
+    assert got["<item:2>"] == '"150"^^<xsd:integer>'
+
+
+def test_bgp_optional_filter_validation(priced_graph):
+    with pytest.raises(ValueError, match="not bound by the required"):
+        # the arm filter may reference the group's own variables only
+        bgp_match(
+            priced_graph, [("?i", "kg:label", "?l")],
+            optional=[{
+                "patterns": [("?i", "kg:price", "?p")],
+                "filters": [("?l", "=", "Alpha")],
+            }],
+        )
+    with pytest.raises(ValueError, match="unknown keys"):
+        bgp_match(
+            priced_graph, [("?i", "kg:label", "?l")],
+            optional=[{"patterns": [("?i", "kg:price", "?p")],
+                       "filter": []}],
+        )
+    with pytest.raises(ValueError, match="'patterns' key"):
+        bgp_match(
+            priced_graph, [("?i", "kg:label", "?l")],
+            optional=[{"filters": []}],
+        )

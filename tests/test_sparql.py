@@ -517,12 +517,136 @@ def test_describe(g):
     assert len(rows(got)) > 0
 
 
+# ------------------------------------------------- BIND / OPTIONAL-FILTER
+
+
+def test_bind_arith_compiles_to_engine(g):
+    got = g.sparql(
+        "SELECT ?d ?w2 WHERE { ?d kg:words ?w . "
+        "BIND(xsd:integer(?w) * 2 AS ?w2) }"
+    )
+    want = bgp_match(
+        g,
+        [("?d", "kg:words", "?w")],
+        bind={"?w2": ("arith", "*", ("cast", "?w"), ("num", 2),
+                      S.XSD_INTEGER)},
+    ).select("d", "w2")
+    assert got.columns == want.columns
+    assert rows(got) == rows(want)
+    # values: typed literal node keys, exact integer re-encode
+    assert ("<doc:1>", '"240"^^<xsd:integer>') in rows(got)
+
+
+def test_bind_concat_str(g):
+    got = g.sparql(
+        'SELECT ?label WHERE { ?e kg:name ?n . ?e rdf:type kg:Engine . '
+        'BIND(CONCAT("name=", STR(?n)) AS ?label) }'
+    )
+    vals = sorted(r[0] for r in got.collect())
+    assert vals == [
+        '"name=Duck"^^<>', '"name=Etincelle"^^<>', '"name=Spark"^^<>'
+    ]
+
+
+def test_bind_sequential_scope(g):
+    """A later BIND reads an earlier one (SPARQL sequential scope)."""
+    got = g.sparql(
+        "SELECT ?d ?b WHERE { ?d kg:words ?w . "
+        "BIND(xsd:integer(?w) + 1 AS ?a) "
+        "BIND(xsd:integer(?a) * 10 AS ?b) }"
+    )
+    assert ("<doc:2>", '"810"^^<xsd:integer>') in rows(got)
+
+
+def test_bind_null_on_unmatched_optional(g):
+    """Error-as-unbound: arithmetic over an OPTIONAL variable binds
+    NULL on rows where the optional arm did not match."""
+    got = g.sparql(
+        "SELECT ?d ?w2 WHERE { ?d kg:mentions ?e . "
+        "OPTIONAL { ?d kg:words ?w } "
+        "BIND(xsd:integer(?w) * 2 AS ?w2) }"
+    )
+    by_doc = {}
+    for d, w2 in rows(got):
+        by_doc.setdefault(d, set()).add(w2)
+    assert by_doc["_:b0"] == {None}  # b0 has no kg:words
+    assert by_doc["<doc:1>"] == {'"240"^^<xsd:integer>'}
+
+
+def test_optional_filter_conditions_binding_not_survival(g):
+    """FILTER inside OPTIONAL decides whether the group binds, never
+    whether the required row survives (SPARQL 8.3)."""
+    got = g.sparql(
+        "SELECT ?d ?w WHERE { ?d kg:mentions ?e . "
+        "OPTIONAL { ?d kg:words ?w FILTER(xsd:integer(?w) > 100) } }"
+    )
+    r = rows(got)
+    # doc:2 (words=80, fails the filter) SURVIVES with ?w null
+    assert ("<doc:2>", None) in r
+    # doc:1 (words=120) binds
+    assert ("<doc:1>", '"120"^^<xsd:integer>') in r
+    # and matches the programmatic optional-dict form
+    want = bgp_match(
+        g,
+        [("?d", "kg:mentions", "?e")],
+        optional=[{
+            "patterns": [("?d", "kg:words", "?w")],
+            "filters": [("?w", ">", 100, S.XSD_INTEGER)],
+        }],
+    ).select("d", "w")
+    assert r == rows(want)
+
+
+def test_offset_with_order_by(g):
+    got = g.sparql(
+        "SELECT ?d ?w WHERE { ?d kg:words ?w } "
+        "ORDER BY xsd:integer(?w) LIMIT 2 OFFSET 1"
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        ("<doc:1>", '"120"^^<xsd:integer>'),
+        ("<doc:3>", '"220"^^<xsd:integer>'),
+    ]
+    # OFFSET before LIMIT parses the same
+    got2 = g.sparql(
+        "SELECT ?d ?w WHERE { ?d kg:words ?w } "
+        "ORDER BY xsd:integer(?w) OFFSET 1 LIMIT 2"
+    )
+    assert [tuple(r) for r in got2.collect()] == [
+        ("<doc:1>", '"120"^^<xsd:integer>'),
+        ("<doc:3>", '"220"^^<xsd:integer>'),
+    ]
+
+
+def test_bind_parse_errors_named(g):
+    cases = [
+        ("SELECT * WHERE { ?d kg:words ?w . BIND(1 AS ?w) }",
+         "already bound"),
+        ("SELECT * WHERE { ?d kg:words ?w . "
+         "BIND(xsd:integer(?w) + 1 AS ?a) BIND(2 AS ?a) }",
+         "already bound"),
+        ("SELECT * WHERE { ?s ?p ?o } LIMIT 1 LIMIT 2", "duplicate"),
+        ("SELECT * WHERE { ?s ?p ?o } ORDER BY ?s OFFSET 1 OFFSET 2",
+         "duplicate"),
+    ]
+    for text, needle in cases:
+        with pytest.raises((SparqlParseError, ValueError), match=needle):
+            sparql_query(g, text).collect()
+
+
 # ------------------------------------------------------------ errors
 
 
 def test_unsupported_constructs_named(g):
     cases = [
-        ("SELECT * WHERE { BIND(1 AS ?x) }", "BIND"),
+        # BIND exists now, but only over the typed subset — float
+        # arithmetic stays refused (engine-specific float formatting
+        # would silently diverge from the Go-parity constructors)
+        ("SELECT * WHERE { ?s kg:words ?w . "
+         "BIND(xsd:double(?w) + 1 AS ?y) }", "xsd:integer only"),
+        ("SELECT * WHERE { ?s kg:words ?w . "
+         "BIND(xsd:integer(?w) AS ?y) }", "bare cast"),
+        ("SELECT * WHERE { ?s kg:words ?w . "
+         "BIND(?w + 1 AS ?y) }", "needs a cast"),
         ("SELECT * WHERE { ?s ?p ?o . { SELECT * WHERE { ?a ?b ?c } } }",
          "triples with nested"),
         ("SELECT ?a WHERE { ?a kg:m ?x . ?b kg:m ?y "

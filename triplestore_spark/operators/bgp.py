@@ -38,7 +38,7 @@ Scale notes (the part the reference's in-memory maps never face):
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Mapping, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -366,6 +366,110 @@ def compile_binding_filter(
     return _FILTER_OPS[op](typed_val, rhs)
 
 
+_BIND_ARITH = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+}
+
+
+def _bind_refs(spec) -> list[str]:
+    """Variable names a bind spec reads (bare, no '?')."""
+    form = spec[0]
+    if form in ("var", "str"):
+        return [_var(spec[1])]
+    if form == "const":
+        return []
+    if form == "concat":
+        out = []
+        for a in spec[1]:
+            if a[0] in ("str", "var"):
+                out.append(_var(a[1]))
+        return out
+    if form == "arith":
+        out = []
+        for operand in (spec[2], spec[3]):
+            if operand[0] == "cast":
+                out.append(_var(operand[1]))
+        return out
+    raise ValueError(f"bgp bind: unknown spec form {spec!r}")
+
+
+def compile_bind_expr(spec) -> Column:
+    """SPARQL-BIND analog: compile an expression spec to a Column of
+    canonical NODE KEYS, so a bound variable is indistinguishable from
+    a matched one downstream. Pure Catalyst — no Python runs per row.
+
+    Spec forms (a small, typed subset — anything outside it is
+    refused by the parser with a named error, never approximated):
+
+      ('var',   '?x')            alias — copy the node key
+      ('const', key)             a ready canonical node-key string
+      ('str',   '?x')            SPARQL STR(): the term's lexical
+                                 form as a simple literal (IRI text
+                                 for resources, value for literals)
+      ('concat', [args])         string concat; args are ('str','?x')
+                                 or ('lit', text); simple literal out
+      ('arith', op, a, b, typ)   op in + - * ; operands ('cast','?x')
+                                 (decode through `typ`) or ('num', n);
+                                 typ is 'xsd:integer' (the one type
+                                 whose lexical re-encode is exact) —
+                                 result re-encoded as a typed literal
+
+    Error-as-unbound, per SPARQL: a row whose operand decodes NULL
+    (tag mismatch, unmatched OPTIONAL variable) binds NULL."""
+    from triplestore_spark.functions.typed import parse_typed_col
+    from triplestore_spark.schema import XSD_INTEGER
+
+    form = spec[0]
+    if form == "var":
+        return F.col(_var(spec[1]))
+    if form == "const":
+        return F.lit(spec[1])
+    if form == "str":
+        _, _, val, _, _ = parse_node_key(F.col(_var(spec[1])))
+        return F.concat(F.lit('"'), val, F.lit('"^^<>'))
+    if form == "concat":
+        parts = []
+        for a in spec[1]:
+            if a[0] == "lit":
+                parts.append(F.lit(a[1]))
+            elif a[0] in ("str", "var"):
+                _, _, val, _, _ = parse_node_key(F.col(_var(a[1])))
+                parts.append(val)
+            else:
+                raise ValueError(f"bgp bind: bad concat arg {a!r}")
+        if not parts:
+            raise ValueError("bgp bind: empty concat")
+        return F.concat(F.lit('"'), *parts, F.lit('"^^<>'))
+    if form == "arith":
+        _, op, a, b, typ = spec
+        if op not in _BIND_ARITH:
+            raise ValueError(f"bgp bind: unknown arithmetic op {op!r}")
+        if typ != XSD_INTEGER:
+            raise ValueError(
+                "bgp bind: arithmetic supports xsd:integer only (the "
+                "one type whose lexical re-encode is exact; float "
+                f"formatting is engine-specific) — got {typ!r}"
+            )
+
+        def operand(o):
+            if o[0] == "num":
+                return F.lit(int(o[1]))
+            if o[0] == "cast":
+                _, _, val, vtyp, _ = parse_node_key(F.col(_var(o[1])))
+                return parse_typed_col(val, vtyp, typ)
+            raise ValueError(f"bgp bind: bad arithmetic operand {o!r}")
+
+        res = _BIND_ARITH[op](operand(a), operand(b))
+        return F.concat(
+            F.lit('"'),
+            res.cast("long").cast("string"),
+            F.lit('"^^<' + typ + ">"),
+        )
+    raise ValueError(f"bgp bind: unknown spec form {spec!r}")
+
+
 def _norm_values(values) -> tuple[list[str], list[tuple]]:
     """Normalize a SPARQL-VALUES spec to (var names, binding rows).
 
@@ -432,6 +536,7 @@ def bgp_match(
     anti: Sequence[Sequence[Pattern] | str] | None = None,
     exists: Sequence[Sequence[Pattern] | str] | None = None,
     filters: Sequence[tuple] | None = None,
+    bind: Mapping[str, tuple] | None = None,
     values: tuple | dict | None = None,
     allow_product: bool = False,
     distinct: bool = True,
@@ -477,7 +582,19 @@ def bgp_match(
     cast; 'regex' over the decoded value). A filter on a variable
     bound by exactly one pattern is PUSHED BELOW the joins onto that
     pattern's scan; multi-pattern variables filter after the required
-    joins. Filters may reference required-BGP variables only.
+    joins. Filters may reference required-BGP variables only. The
+    comparand may itself be a variable ('?a', '<', '?b', type) — see
+    compile_binding_filter; when such a filter is the only link
+    between two pattern components, the planner crosses them and the
+    comparison becomes the join condition (theta-join) instead of
+    refusing a cartesian.
+
+    `bind` introduces NEW variables computed from bound ones (SPARQL
+    BIND): {'?y': spec} where spec is a compile_bind_expr form —
+    alias, constant, STR(), CONCAT(), or typed integer arithmetic.
+    Binds apply after all joins in spec order (later binds may read
+    earlier ones) and yield canonical node keys, so downstream
+    operators can't tell a bound variable from a matched one.
 
     `values` injects inline bindings (SPARQL VALUES): {'?v': [node
     keys...]} for one variable, or (['?a', '?b'], [(ka, kb), ...])
@@ -504,6 +621,12 @@ def bgp_match(
     `anti` (>=1 shared variable, no new output columns); semi and
     anti restrictions commute, so their relative order is free.
 
+    An `optional` entry may be a dict {'patterns': ..., 'filters':
+    [...]} — SPARQL FILTER inside OPTIONAL: the filter prefilters the
+    ARM before the left join (it decides whether the group binds,
+    never whether a required row survives), and its variables must be
+    bound by the group's own patterns.
+
     Over a MaterializedGraph each pattern scans the LAYOUT whose sort
     prefix matches its constant positions (subject const -> SPO,
     else predicate const -> POS, else object const -> OSP — the
@@ -515,9 +638,7 @@ def bgp_match(
     if isinstance(patterns, str):
         patterns = parse_bgp(patterns)
     if optional is not None:
-        optional = [
-            parse_bgp(g) if isinstance(g, str) else g for g in optional
-        ]
+        optional = [_norm_opt_group(g) for g in optional]
     if anti is not None:
         anti = [parse_bgp(g) if isinstance(g, str) else g for g in anti]
     if exists is not None:
@@ -727,8 +848,19 @@ def bgp_match(
         required_vars = set(bound)
         claimed: set[str] = set()
         for gi, group in enumerate(optional):
-            gdf = bgp_match(graph, group, distinct=False,
-                            allow_product=allow_product)
+            gpats = _opt_patterns(group)
+            gkw = {}
+            if isinstance(group, dict) and group.get("filters"):
+                # FILTER inside OPTIONAL: prefilter the ARM before the
+                # left join — it decides whether the group binds, never
+                # whether the required row survives. The recursive call
+                # enforces that filter variables are bound by the
+                # group's own patterns (a filter reaching back into
+                # required-only variables would need the condition ON
+                # the join and is refused).
+                gkw["filters"] = group["filters"]
+            gdf = bgp_match(graph, gpats, distinct=False,
+                            allow_product=allow_product, **gkw)
             gvars = set(gdf.columns)
             shared = sorted(required_vars & gvars)
             new = gvars - required_vars
@@ -746,7 +878,7 @@ def bgp_match(
                 )
             claimed |= new
             cur = cur.join(gdf, on=shared, how="left")
-            for v in group:
+            for v in gpats:
                 for t in v:
                     if _is_var(t) and _var(t) not in var_order:
                         var_order.append(_var(t))
@@ -782,6 +914,29 @@ def bgp_match(
         cur = branches[0]
         for b in branches[1:]:
             cur = cur.unionByName(b)
+
+    if bind:
+        # BIND runs last in the group scope: it sees every matched
+        # variable (optional ones bind NULL -> NULL out, SPARQL's
+        # error-as-unbound), introduces only NEW names, and being
+        # functionally determined by existing columns it composes
+        # with the final distinct unchanged. Binds apply in spec
+        # order, so a later bind may read an earlier one (SPARQL's
+        # sequential BIND scope).
+        for bvar, bspec in bind.items():
+            bv = _var(bvar) if _is_var(bvar) else bvar
+            if bv in var_order:
+                raise ValueError(
+                    f"bgp bind: ?{bv} is already bound by the patterns"
+                )
+            missing = [r for r in _bind_refs(bspec) if r not in var_order]
+            if missing:
+                raise ValueError(
+                    f"bgp bind: ?{bv} reads unbound variables "
+                    f"{missing}"
+                )
+            cur = cur.withColumn(bv, compile_bind_expr(bspec))
+            var_order.append(bv)
 
     out = cur.select(*var_order)
     return out.distinct() if distinct else out
@@ -1288,6 +1443,12 @@ def bgp_match_sql(
             f"(VALUES {rows_sql}) v({', '.join(vnames)}) ON {conds}"
         )
     if optional is not None:
+        if any(isinstance(g, dict) for g in optional):
+            raise ValueError(
+                "bgp_match_sql: optional groups with filters have no "
+                "SQL twin — differential-test them by prefiltering "
+                "the arm on the DataFrame side"
+            )
         optional = [
             parse_bgp(g) if isinstance(g, str) else g for g in optional
         ]
@@ -1374,6 +1535,32 @@ def bgp_match_sql(
     conds = [f"({w})" for w in wheres] + gates
     where = " AND ".join(conds) if conds else "TRUE"
     return f"SELECT {kw}{cols} FROM {frm} WHERE {where}"
+
+
+def _norm_opt_group(g):
+    """Normalize one optional-group entry: a parse string or pattern
+    list stays a pattern list; a dict carries 'patterns' plus its own
+    'filters' (SPARQL FILTER inside OPTIONAL — the filter conditions
+    whether the group binds, it never drops required rows)."""
+    if isinstance(g, str):
+        return parse_bgp(g)
+    if isinstance(g, dict):
+        g = dict(g)
+        if "patterns" not in g:
+            raise ValueError("optional group dict needs a 'patterns' key")
+        if isinstance(g["patterns"], str):
+            g["patterns"] = parse_bgp(g["patterns"])
+        bad = set(g) - {"patterns", "filters"}
+        if bad:
+            raise ValueError(
+                f"optional group dict: unknown keys {sorted(bad)}"
+            )
+        return g
+    return g
+
+
+def _opt_patterns(g) -> Sequence[Pattern]:
+    return g["patterns"] if isinstance(g, dict) else g
 
 
 def _pattern_vars(patterns: Sequence[Pattern]) -> list[str]:

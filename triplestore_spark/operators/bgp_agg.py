@@ -338,10 +338,16 @@ def _union_vars(groups: Sequence[dict]) -> list[str]:
     for g in groups:
         pats = list(g["patterns"])
         for og in g.get("optional") or []:
+            if isinstance(og, dict):
+                og = og["patterns"]
             pats += parse_bgp(og) if isinstance(og, str) else list(og)
         for v in _pattern_vars(pats):
             if v not in out:
                 out.append(v)
+        for bv in g.get("bind") or {}:
+            bv = bv.lstrip("?")
+            if bv not in out:
+                out.append(bv)
     if not out:
         raise ValueError("bgp_union: no variables in any arm")
     return out
@@ -390,6 +396,17 @@ def bgp_union_sql(
         raise ValueError(
             "bgp_union_sql: arm filters have no SQL twin — apply "
             "compile_binding_filter post-hoc and compare that"
+        )
+    if any(g.get("bind") for g in norm):
+        raise ValueError(
+            "bgp_union_sql: arm binds have no SQL twin — compare "
+            "compile_bind_expr output on the DataFrame side"
+        )
+    if any(isinstance(og, dict) for g in norm
+           for og in g.get("optional") or []):
+        raise ValueError(
+            "bgp_union_sql: optional groups with filters have no "
+            "SQL twin"
         )
     var_order = _union_vars(norm)
     arms = []

@@ -19,17 +19,27 @@ Supported grammar (case-insensitive keywords)::
     PREFIX pfx: <iri>                      -- any number
     SELECT [DISTINCT] (* | ?v ... | (AGG AS ?alias) ...)
         WHERE { group } [GROUP BY ?v ...] [HAVING (cond) ...]
-        [ORDER BY cond ...] [LIMIT n]
+        [ORDER BY cond ...] [LIMIT n] [OFFSET m]
+        (LIMIT/OFFSET in either order; OFFSET requires ORDER BY —
+        skipping engine-chosen row order is a silent wrong answer)
     ASK { group }
     CONSTRUCT { triples } WHERE { group }
     DESCRIBE <node>
 
     group    := triples and any of:
-                  OPTIONAL { triples }
+                  OPTIONAL { triples [FILTER (...)] ... }
                   MINUS { triples } | FILTER [NOT] EXISTS { triples }
                   FILTER ( constraint ) | FILTER regex(?v, "re")
+                  BIND ( bindexpr AS ?new )
                   VALUES ?v { terms } | VALUES (?a ?b) { (t t) ... }
                 or  { group } UNION { group } [UNION ...]
+    bindexpr := constant | ?v | STR(?v) | CONCAT(args...) |
+                numop (+|-|*) numop  with numop := xsd:integer(?v)
+                | integer (typed integer arithmetic only — the one
+                numeric whose lexical re-encode is exact); CONCAT
+                args are STR(?v), ?v, or plain "strings"; a FILTER
+                inside OPTIONAL conditions whether the group binds
+                (its variables must be the group's own)
     triples  := s p o [, o ...] [; p o ...] .  with property paths
                 in the predicate position: p1/p2, ^p, p1|p2, p*, p+,
                 p?, p{m,n}, !(p1|p2), (p1|p2)*, a  (rdf:type)
@@ -46,10 +56,12 @@ Supported grammar (case-insensitive keywords)::
                 typed aggregates REQUIRE it, same as the Python API)
 
 Deliberate subset boundaries (each raises SparqlParseError naming
-the construct): subqueries, BIND,
-OFFSET, property paths that don't factor into the engine's
-sequence-of-(alternation+quantifier) steps (e.g. (p1/p2)* — closure
-over a sequence), FILTER inside OPTIONAL, mixing triples with UNION
+the construct): subqueries, BIND expressions outside the typed
+subset above (IF/COALESCE, float arithmetic — engine-specific float
+formatting would silently diverge from the Go-parity constructors),
+OFFSET without ORDER BY, property paths that don't factor into the
+engine's sequence-of-(alternation+quantifier) steps (e.g. (p1/p2)*
+— closure over a sequence), mixing triples with UNION
 blocks in one group, and aggregation over UNION. Prefixed names with
 an UNDECLARED prefix pass through verbatim — this repo's graphs
 store compact IRIs ('kg:mentions', 'rdf:type') literally, so
@@ -228,11 +240,9 @@ class _Parser:
             out = {"form": "describe", "node": node}
         else:
             raise self.error("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
-        if not self.take_word("OFFSET"):
-            if self.peek()[0] != "EOF":
-                raise self.error("unexpected trailing input")
-            return out
-        raise self.error("OFFSET is not supported")
+        if self.peek()[0] != "EOF":
+            raise self.error("unexpected trailing input")
+        return out
 
     # -- UPDATE ------------------------------------------------------
 
@@ -420,11 +430,26 @@ class _Parser:
                 order_by.append(cond)
             if not order_by:
                 raise self.error("empty ORDER BY")
-        if self.take_word("LIMIT"):
+        offset = None
+        # LIMIT and OFFSET may come in either order, each at most once
+        while self.at_word("LIMIT", "OFFSET"):
+            kw = self.next()[1].upper()
             k, v, _ = self.next()
             if k != "NUM" or not v.isdigit():
-                raise self.error("LIMIT takes a non-negative integer")
-            limit = int(v)
+                raise self.error(f"{kw} takes a non-negative integer")
+            if kw == "LIMIT":
+                if limit is not None:
+                    raise self.error("duplicate LIMIT")
+                limit = int(v)
+            else:
+                if offset is not None:
+                    raise self.error("duplicate OFFSET")
+                offset = int(v)
+        if offset is not None and not order_by:
+            raise self.error(
+                "OFFSET without ORDER BY is nondeterministic (row "
+                "order is engine-chosen) — add an ORDER BY"
+            )
         return {
             "form": "select",
             "distinct": distinct,
@@ -435,6 +460,7 @@ class _Parser:
             "having": having,
             "order_by": order_by,
             "limit": limit,
+            "offset": offset,
             "where": where,
         }
 
@@ -600,19 +626,26 @@ class _Parser:
             "anti": [],
             "exists": [],
             "filters": [],
+            "bind": {},
             "values": None,
         }
         while not self.at_op("}"):
             if self.take_word("OPTIONAL"):
                 sub = self._parse_group()
                 if "union" in sub or sub["optional"] or sub["anti"] \
-                        or sub["exists"] \
-                        or sub["filters"] or sub["values"] is not None:
+                        or sub["exists"] or sub["bind"] \
+                        or sub["values"] is not None:
                     raise self.error(
-                        "OPTIONAL groups support plain triple "
-                        "patterns only"
+                        "OPTIONAL groups support triple patterns "
+                        "plus FILTER only"
                     )
-                g["optional"].append(sub["patterns"])
+                if sub["filters"]:
+                    g["optional"].append({
+                        "patterns": sub["patterns"],
+                        "filters": sub["filters"],
+                    })
+                else:
+                    g["optional"].append(sub["patterns"])
             elif self.take_word("MINUS"):
                 g["anti"].append(self._parse_plain_subgroup("MINUS"))
             elif self.take_word("FILTER"):
@@ -625,7 +658,7 @@ class _Parser:
                     )
                 g["values"] = self._parse_values()
             elif self.take_word("BIND"):
-                raise self.error("BIND is not supported")
+                self._parse_bind_into(g)
             elif self.at_word("SELECT"):
                 raise self.error("subqueries are not supported")
             elif self.at_op("{"):
@@ -649,7 +682,7 @@ class _Parser:
     def _parse_plain_subgroup(self, what: str) -> list:
         sub = self._parse_group()
         if "union" in sub or sub["optional"] or sub["anti"] \
-                or sub["exists"] \
+                or sub["exists"] or sub["bind"] \
                 or sub["filters"] or sub["values"] is not None:
             raise self.error(
                 f"{what} groups support plain triple patterns only"
@@ -687,6 +720,139 @@ class _Parser:
             raise self.error("regex() pattern must be a string literal")
         self.expect_op(")")
         return ("?" + vv[1:], "regex", _unquote(sv)[0])
+
+    # -- BIND ----------------------------------------------------------
+
+    def _parse_bind_into(self, g: dict) -> None:
+        """BIND ( expr AS ?new ) -> g['bind'][?new] = compile_bind_expr
+        spec. The target must be new to the group; later binds may
+        read earlier ones (sequential scope, mirrored by the engine)."""
+        self.expect_op("(")
+        spec = self._parse_bind_expr()
+        self.expect_word("AS")
+        k, v, _ = self.next()
+        if k != "VAR":
+            raise self.error("BIND needs (expr AS ?var)")
+        var = "?" + v[1:]
+        if var in g["bind"]:
+            raise self.error(f"BIND target {var} is already bound")
+        self.expect_op(")")
+        g["bind"][var] = spec
+
+    def _parse_bind_expr(self) -> tuple:
+        k, v, _ = self.peek()
+        if k == "WORD" and v.upper() == "STR" \
+                and self.peek(1)[1] == "(":
+            self.next()
+            self.expect_op("(")
+            vk, vv, _ = self.next()
+            if vk != "VAR":
+                raise self.error("STR() takes a variable")
+            self.expect_op(")")
+            return ("str", "?" + vv[1:])
+        if k == "WORD" and v.upper() == "CONCAT" \
+                and self.peek(1)[1] == "(":
+            self.next()
+            self.expect_op("(")
+            args = []
+            while True:
+                ak, av, _ = self.peek()
+                if ak == "VAR":
+                    self.next()
+                    args.append(("str", "?" + av[1:]))
+                elif ak == "STRING":
+                    self.next()
+                    value, lang, typ = _unquote(av)
+                    if lang or typ:
+                        raise self.error(
+                            "CONCAT takes plain strings and variables"
+                        )
+                    args.append(("lit", value))
+                elif ak == "WORD" and av.upper() == "STR":
+                    self.next()
+                    self.expect_op("(")
+                    vk, vv, _ = self.next()
+                    if vk != "VAR":
+                        raise self.error("STR() takes a variable")
+                    self.expect_op(")")
+                    args.append(("str", "?" + vv[1:]))
+                else:
+                    raise self.error(
+                        "CONCAT takes plain strings and variables"
+                    )
+                if not self.take_op(","):
+                    break
+            self.expect_op(")")
+            if not args:
+                raise self.error("empty CONCAT")
+            return ("concat", args)
+        # typed arithmetic: numop (+|-|*) numop
+        if (k == "WORD" and v.upper() not in _KEYWORDS
+                and self.peek(1)[1] == "(") or (
+                k == "NUM" and self.peek(1)[1] in ("+", "-", "*")):
+            a, typ_a = self._parse_bind_numop()
+            ok, ov, _ = self.peek()
+            if not (ok == "OP" and ov in ("+", "-", "*")):
+                raise self.error(
+                    "a bare cast is not a BIND expression — add an "
+                    "arithmetic op (or bind the variable directly)"
+                )
+            self.next()
+            b, typ_b = self._parse_bind_numop()
+            typ = typ_a or typ_b
+            if typ is None:
+                raise self.error(
+                    "BIND arithmetic needs a cast on at least one "
+                    "side (e.g. xsd:integer(?x) + 1)"
+                )
+            if typ_a and typ_b and typ_a != typ_b:
+                raise self.error(
+                    f"BIND casts disagree ({typ_a} vs {typ_b})"
+                )
+            if typ != S.XSD_INTEGER:
+                raise self.error(
+                    "BIND arithmetic supports xsd:integer only (the "
+                    "one type whose lexical re-encode is exact)"
+                )
+            return ("arith", ov, a, b, typ)
+        if k == "VAR":
+            self.next()
+            if self.peek()[1] in ("+", "-", "*"):
+                raise self.error(
+                    "BIND arithmetic needs a cast (e.g. "
+                    "xsd:integer(?x) + 1)"
+                )
+            return ("var", "?" + v[1:])
+        # constant term: IRI / pname / string / number / boolean
+        if k == "WORD" and v.upper() in ("TRUE", "FALSE"):
+            self.next()
+            t = Obj(S.KIND_LITERAL, v.lower(), S.XSD_BOOLEAN)
+            return ("const", t.okey())
+        t = self._parse_term("object")
+        if isinstance(t, str):
+            if t.startswith("?"):
+                raise self.error("BIND expression variable misparse")
+            return ("const", f"<{t}>")
+        return ("const", t.okey())
+
+    def _parse_bind_numop(self) -> tuple:
+        """One arithmetic operand: xsd:T(?v) or an integer literal.
+        -> (spec, cast type or None)."""
+        k, v, _ = self.peek()
+        if k == "NUM":
+            self.next()
+            if not re.fullmatch(r"[+-]?\d+", v):
+                raise self.error(
+                    "BIND arithmetic constants must be integers"
+                )
+            return (("num", int(v)), None)
+        if k == "WORD" and v.upper() not in _KEYWORDS \
+                and self.peek(1)[1] == "(":
+            var, typ = self._parse_cast_var()
+            return (("cast", "?" + var), typ)
+        raise self.error(
+            "expected xsd:T(?v) or an integer in BIND arithmetic"
+        )
 
     _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!="}
 
@@ -1169,6 +1335,8 @@ def _match_kwargs(g: dict) -> dict:
         kw["anti"] = g["anti"]
     if g.get("exists"):
         kw["exists"] = g["exists"]
+    if g.get("bind"):
+        kw["bind"] = g["bind"]
     if g["filters"]:
         kw["filters"] = g["filters"]
     if g["values"] is not None:
@@ -1176,7 +1344,7 @@ def _match_kwargs(g: dict) -> dict:
     return kw
 
 
-def _apply_order_limit(df, order_by, limit):
+def _apply_order_limit(df, order_by, limit, offset=None):
     from pyspark.sql import functions as F
 
     from triplestore_spark.operators.bgp_agg import (
@@ -1197,6 +1365,9 @@ def _apply_order_limit(df, order_by, limit):
             c = _typed_binding(name, typ) if typ else F.col(name)
             cols.append(c.asc() if direction == "asc" else c.desc())
         df = df.orderBy(*cols)
+    if offset is not None:
+        # the parser guarantees an ORDER BY accompanies any OFFSET
+        df = df.offset(offset)
     if limit is not None:
         df = df.limit(limit)
     return df
@@ -1289,7 +1460,7 @@ def sparql_query(graph, text: str):
             df = df.select(*proj)
             if q["distinct"]:
                 df = df.distinct()
-        return _apply_order_limit(df, q["order_by"], q["limit"])
+        return _apply_order_limit(df, q["order_by"], q["limit"], q["offset"])
 
     kw = _match_kwargs(where)
     if aggregates or group_by:
@@ -1328,7 +1499,7 @@ def sparql_query(graph, text: str):
         if q["distinct"]:
             df = df.distinct()
         if late_mods:
-            df = _apply_order_limit(df, q["order_by"], q["limit"])
+            df = _apply_order_limit(df, q["order_by"], q["limit"], q["offset"])
         return df
 
     if q["having"]:
@@ -1346,8 +1517,8 @@ def sparql_query(graph, text: str):
         if proj:
             df = df.select(*proj)
         df = df.distinct()
-        return _apply_order_limit(df, q["order_by"], q["limit"])
-    df = _apply_order_limit(df, q["order_by"], None)
+        return _apply_order_limit(df, q["order_by"], q["limit"], q["offset"])
+    df = _apply_order_limit(df, q["order_by"], None, q["offset"])
     if proj:
         df = df.select(*proj)
     if q["limit"] is not None:
