@@ -1543,3 +1543,51 @@ def test_bgp_optional_filter_validation(priced_graph):
             priced_graph, [("?i", "kg:label", "?l")],
             optional=[{"filters": []}],
         )
+
+
+# -- joins= (subquery solution sets) -----------------------------------
+
+
+def test_bgp_joins_solution_set(priced_graph):
+    """A pre-computed solution DataFrame joins on shared variables and
+    participates in filter pushdown like any scan."""
+    from pyspark.sql import functions as F
+
+    spark = priced_graph.df.sparkSession
+    sol = spark.createDataFrame(
+        [("<item:1>", '"10"^^<xsd:integer>'),
+         ("<item:3>", '"30"^^<xsd:integer>')],
+        "i string, score string",
+    )
+    got = _spark_rows(
+        bgp_match(
+            priced_graph, [("?i", "kg:label", "?l")], joins=[sol]
+        ).select("i", "score")
+    )
+    assert got == [
+        ("<item:1>", '"10"^^<xsd:integer>'),
+        ("<item:3>", '"30"^^<xsd:integer>'),
+    ]
+    # a filter on a join-only variable applies (decoded, typed)
+    got2 = _spark_rows(
+        bgp_match(
+            priced_graph, [("?i", "kg:label", "?l")], joins=[sol],
+            filters=[("?score", ">", 20, "xsd:integer")],
+        ).select("i")
+    )
+    assert got2 == [("<item:3>",)]
+
+
+def test_bgp_joins_validation(priced_graph):
+    spark = priced_graph.df.sparkSession
+    with pytest.raises(ValueError, match="no patterns"):
+        bgp_match(priced_graph, [])
+    # patterns may be empty when joins are present
+    sol = spark.createDataFrame([("<item:1>",)], "i string")
+    assert _spark_rows(bgp_match(priced_graph, [], joins=[sol])) \
+        == [("<item:1>",)]
+    # a join sharing no variable is a cartesian -> refused
+    lone = spark.createDataFrame([("x",)], "z string")
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(priced_graph, [("?i", "kg:label", "?l")],
+                  joins=[lone])

@@ -9,6 +9,7 @@ gates); these tests pin that the TEXT compiles to the same calls.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from triplestore_spark import schema as S
 from triplestore_spark.dsl import Obj
@@ -783,3 +784,105 @@ def test_update_refusals(spark):
         parse_sparql_update("WITH <g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlParseError, match="property paths"):
         parse_sparql_update("DELETE WHERE { ?s kg:a/kg:b ?o }")
+
+
+# ------------------------------------------------------------ subqueries
+
+
+def test_subquery_joins_outer_pattern(g):
+    got = g.sparql(
+        "SELECT ?e ?n ?cnt WHERE { ?e kg:name ?n . "
+        "{ SELECT ?e (COUNT(?d) AS ?cnt) WHERE { ?d kg:mentions ?e } "
+        "GROUP BY ?e } }"
+    )
+    # aggregate columns come back as canonical node keys
+    assert ("<e:duck>", '"Duck"^^<xsd:string>',
+            '"2"^^<xsd:integer>') in rows(got)
+    assert ("<e:spark>", '"Spark"^^<xsd:string>',
+            '"3"^^<xsd:integer>') in rows(got)
+    # differential vs the manual composition
+    inner = bgp_select(
+        g, [("?d", "kg:mentions", "?e")],
+        group_by=["?e"], aggregates={"cnt": ("count", "?d")},
+    ).select(
+        "e",
+        F.concat(F.lit('"'), F.col("cnt").cast("string"),
+                 F.lit('"^^<xsd:integer>')).alias("cnt"),
+    )
+    want = bgp_match(g, [("?e", "kg:name", "?n")], joins=[inner])
+    assert rows(got) == rows(want.select("e", "n", "cnt"))
+
+
+def test_subquery_only_group_with_filter_and_bind(g):
+    got = g.sparql(
+        "SELECT ?e ?c2 WHERE { "
+        "{ SELECT ?e (COUNT(?d) AS ?cnt) WHERE { ?d kg:mentions ?e } "
+        "GROUP BY ?e } "
+        "FILTER(?cnt >= 3) BIND(xsd:integer(?cnt) * 10 AS ?c2) }"
+    )
+    assert rows(got) == [("<e:spark>", '"30"^^<xsd:integer>')]
+
+
+def test_subquery_typed_sum(g):
+    got = g.sparql(
+        "SELECT ?e ?tot WHERE { ?e rdf:type kg:Engine . "
+        "{ SELECT ?e (SUM(xsd:integer(?w)) AS ?tot) WHERE "
+        "{ ?d kg:words ?w . ?d kg:mentions ?e } GROUP BY ?e } }"
+    )
+    assert rows(got) == [
+        ("<e:duck>", '"300"^^<xsd:integer>'),
+        ("<e:spark>", '"200"^^<xsd:integer>'),
+    ]
+
+
+def test_subquery_nested(g):
+    got = g.sparql(
+        "SELECT ?e ?cnt WHERE { ?e rdf:type kg:Engine . "
+        "{ SELECT ?e ?cnt WHERE { "
+        "{ SELECT ?e (COUNT(?d) AS ?cnt) WHERE { ?d kg:mentions ?e } "
+        "GROUP BY ?e } } } }"
+    )
+    assert rows(got) == [
+        ("<e:duck>", '"2"^^<xsd:integer>'),
+        ("<e:spark>", '"3"^^<xsd:integer>'),
+    ]
+
+
+def test_subquery_refusals_named(g):
+    cases = [
+        # inside UNION arms
+        ("SELECT * WHERE { { ?x kg:name ?y . "
+         "{ SELECT ?e WHERE { ?d kg:mentions ?e } } } UNION "
+         "{ ?x kg:label ?y } }", "UNION"),
+        # AVG at the boundary
+        ("SELECT ?e WHERE { ?e rdf:type kg:Engine . "
+         "{ SELECT ?e (AVG(xsd:integer(?w)) AS ?a) WHERE "
+         "{ ?d kg:words ?w . ?d kg:mentions ?e } GROUP BY ?e } }",
+         "AVG"),
+        # double-typed aggregate at the boundary
+        ("SELECT ?e WHERE { ?e rdf:type kg:Engine . "
+         "{ SELECT ?e (MAX(xsd:double(?w)) AS ?m) WHERE "
+         "{ ?d kg:words ?w . ?d kg:mentions ?e } GROUP BY ?e } }",
+         "re-encoded"),
+        # bare SELECT without braces
+        ("SELECT * WHERE { ?s ?p ?o . SELECT ?e WHERE "
+         "{ ?d kg:mentions ?e } }", "braces"),
+    ]
+    for text, needle in cases:
+        with pytest.raises(SparqlParseError, match=needle):
+            sparql_query(g, text)
+
+
+def test_subquery_group_concat_simple_literal(g):
+    got = g.sparql(
+        'SELECT ?e ?names WHERE { ?e rdf:type kg:Engine . '
+        '{ SELECT ?e (GROUP_CONCAT(?n ; SEPARATOR="|") AS ?names) '
+        "WHERE { ?e kg:name ?n } GROUP BY ?e } }"
+    )
+    r = dict(rows(got))
+    # the concat of node keys, wrapped as a simple literal (raw value,
+    # same unescaped convention as every okey; parse_node_key's greedy
+    # group recovers it exactly)
+    assert r["<e:duck>"] == '""Duck"^^<xsd:string>"^^<>'
+    assert r["<e:spark>"] == \
+        '""Etincelle"@fr|"Spark"^^<xsd:string>"^^<>'

@@ -538,6 +538,7 @@ def bgp_match(
     filters: Sequence[tuple] | None = None,
     bind: Mapping[str, tuple] | None = None,
     values: tuple | dict | None = None,
+    joins: Sequence[DataFrame] | None = None,
     allow_product: bool = False,
     distinct: bool = True,
 ) -> DataFrame:
@@ -627,6 +628,18 @@ def bgp_match(
     never whether a required row survives), and its variables must be
     bound by the group's own patterns.
 
+    `joins` injects pre-computed SOLUTION SETS (SPARQL subqueries):
+    each DataFrame's columns are variable names, and it enters the
+    join planner as one more scan — equi-joined on shared variables,
+    eligible for filter pushdown (a filter on a variable only a join
+    binds applies to that DataFrame before the join) and for theta
+    links, and subject to the same cartesian refusal. `patterns` may
+    be empty when `joins` is non-empty (a group that IS a subquery).
+    Boundary, documented not hidden: a join row whose shared variable
+    is NULL (an unbound projection from an inner OPTIONAL) drops at
+    the equi-join, where SPARQL's compatibility rule would keep it —
+    project only bound variables from subqueries.
+
     Over a MaterializedGraph each pattern scans the LAYOUT whose sort
     prefix matches its constant positions (subject const -> SPO,
     else predicate const -> POS, else object const -> OSP — the
@@ -645,7 +658,7 @@ def bgp_match(
         exists = [
             parse_bgp(g) if isinstance(g, str) else g for g in exists
         ]
-    if not patterns:
+    if not patterns and not joins:
         raise ValueError("bgp_match: no patterns")
 
     scans: list[tuple[DataFrame, list[str], int]] = []
@@ -690,6 +703,13 @@ def bgp_match(
         scan, vars_ = _pattern_scan(_layout_for(graph, df, pat), pat)
         n_const = 3 - sum(_is_var(t) for t in pat)
         scans.append((scan, vars_, n_const))
+
+    for jdf in joins or ():
+        # a subquery solution set: every column is a variable; its
+        # (often aggregated, already-reduced) rows join like any scan
+        if not jdf.columns:
+            raise ValueError("bgp_match: a joins= DataFrame has no columns")
+        scans.append((jdf, list(jdf.columns), 0))
 
     # FILTER compilation + pushdown: a filter whose variable binds in
     # exactly ONE pattern is applied to that pattern's scan BEFORE any
@@ -777,6 +797,10 @@ def bgp_match(
         for t in pat:
             if _is_var(t) and _var(t) not in var_order:
                 var_order.append(_var(t))
+    for jdf in joins or ():
+        for c in jdf.columns:
+            if c not in var_order:
+                var_order.append(c)
 
     # existence gates first: cheap limit-1 broadcast factors
     gates = [s for s in scans if not s[1]]

@@ -32,6 +32,13 @@ Supported grammar (case-insensitive keywords)::
                   FILTER ( constraint ) | FILTER regex(?v, "re")
                   BIND ( bindexpr AS ?new )
                   VALUES ?v { terms } | VALUES (?a ?b) { (t t) ... }
+                  { SELECT ... }   -- subquery: evaluated first, its
+                                   solutions join on shared variables;
+                                   aggregate columns re-encode as
+                                   canonical node keys (exact types
+                                   only — AVG/double/timestamp are
+                                   refused at the boundary, compare
+                                   those inside via HAVING)
                 or  { group } UNION { group } [UNION ...]
     bindexpr := constant | ?v | STR(?v) | CONCAT(args...) |
                 numop (+|-|*) numop  with numop := xsd:integer(?v)
@@ -56,7 +63,8 @@ Supported grammar (case-insensitive keywords)::
                 typed aggregates REQUIRE it, same as the Python API)
 
 Deliberate subset boundaries (each raises SparqlParseError naming
-the construct): subqueries, BIND expressions outside the typed
+the construct): subqueries inside UNION arms / OPTIONAL / MINUS
+(lift them out), BIND expressions outside the typed
 subset above (IF/COALESCE, float arithmetic — engine-specific float
 formatting would silently diverge from the Go-parity constructors),
 OFFSET without ORDER BY, property paths that don't factor into the
@@ -608,7 +616,7 @@ class _Parser:
 
     def _parse_group(self) -> dict:
         self.expect_op("{")
-        if self.at_op("{"):
+        if self.at_op("{") and not self._peek_is_select(1):
             # either a lone nested group or a UNION chain of groups
             arms = [self._parse_group()]
             while self.take_word("UNION"):
@@ -628,12 +636,14 @@ class _Parser:
             "filters": [],
             "bind": {},
             "values": None,
+            "subqueries": [],
         }
         while not self.at_op("}"):
             if self.take_word("OPTIONAL"):
                 sub = self._parse_group()
                 if "union" in sub or sub["optional"] or sub["anti"] \
                         or sub["exists"] or sub["bind"] \
+                        or sub["subqueries"] \
                         or sub["values"] is not None:
                     raise self.error(
                         "OPTIONAL groups support triple patterns "
@@ -660,7 +670,16 @@ class _Parser:
             elif self.take_word("BIND"):
                 self._parse_bind_into(g)
             elif self.at_word("SELECT"):
-                raise self.error("subqueries are not supported")
+                raise self.error(
+                    "a subquery needs its own braces: { SELECT ... }"
+                )
+            elif self.at_op("{") and self._peek_is_select(1):
+                # SPARQL subquery: { SELECT ... } — evaluated first,
+                # its solutions join the group on shared variables
+                self.expect_op("{")
+                self.expect_word("SELECT")
+                g["subqueries"].append(self._parse_select())
+                self.expect_op("}")
             elif self.at_op("{"):
                 raise self.error(
                     "a group mixing triples with nested {...} blocks "
@@ -679,10 +698,14 @@ class _Parser:
         self.expect_op("}")
         return g
 
+    def _peek_is_select(self, ahead: int) -> bool:
+        k, v, _ = self.peek(ahead)
+        return k == "WORD" and v.upper() == "SELECT"
+
     def _parse_plain_subgroup(self, what: str) -> list:
         sub = self._parse_group()
         if "union" in sub or sub["optional"] or sub["anti"] \
-                or sub["exists"] or sub["bind"] \
+                or sub["exists"] or sub["bind"] or sub["subqueries"] \
                 or sub["filters"] or sub["values"] is not None:
             raise self.error(
                 f"{what} groups support plain triple patterns only"
@@ -1315,7 +1338,7 @@ def sparql_update(source, text: str):
                     "sparql update: UNION in WHERE is not supported"
                 )
             pre = source.snapshot()
-            kw = _match_kwargs(g)
+            kw = _match_kwargs(g, pre)
             if stmt["delete"]:
                 source.remove_df(
                     bgp_construct(pre, g["patterns"], stmt["delete"], **kw)
@@ -1327,7 +1350,7 @@ def sparql_update(source, text: str):
     return source
 
 
-def _match_kwargs(g: dict) -> dict:
+def _match_kwargs(g: dict, graph=None) -> dict:
     kw: dict = {}
     if g["optional"]:
         kw["optional"] = g["optional"]
@@ -1341,7 +1364,87 @@ def _match_kwargs(g: dict) -> dict:
         kw["filters"] = g["filters"]
     if g["values"] is not None:
         kw["values"] = g["values"]
+    if g.get("subqueries"):
+        if graph is None:
+            raise SparqlParseError(
+                "sparql: subqueries are not supported inside UNION "
+                "arms — lift the subquery out of the UNION"
+            )
+        # bottom-up evaluation: each inner SELECT compiles to its own
+        # DataFrame and joins the group's solutions on shared variables
+        kw["joins"] = [_subquery_df(graph, sq) for sq in g["subqueries"]]
     return kw
+
+
+# aggregate output types whose lexical form re-encodes EXACTLY as a
+# node key via a plain string cast (integer family + boolean/string);
+# doubles, floats, and timestamps are refused at the subquery boundary
+# because Catalyst's number/timestamp formatting diverges from the
+# Go-parity literal constructors that produced the stored keys
+_EXACT_REENCODE = {
+    S.XSD_INTEGER, S.XSD_BYTE, S.XSD_SHORT, S.XSD_UINTEGER,
+    S.XSD_UNSIGNED_BYTE, S.XSD_UNSIGNED_SHORT, S.XSD_BOOLEAN,
+    S.XSD_STRING,
+}
+
+
+def _subquery_df(graph, sq: dict):
+    """Compile a subquery and re-encode its aggregate columns as
+    canonical NODE KEYS, so outer FILTER/BIND/joins treat subquery
+    variables exactly like matched ones. Group keys and SAMPLE are
+    already keys; COUNT family re-encodes as xsd:integer; typed
+    aggregates re-encode through their declared tag (exact types
+    only); GROUP_CONCAT becomes a simple literal. NULL aggregates
+    (a group whose values all failed the typed decode) stay NULL."""
+    from pyspark.sql import functions as F
+
+    df = _select_df(graph, sq)
+    encode: dict[str, object] = {}
+    for alias, spec in (sq.get("aggregates") or {}).items():
+        if alias not in df.columns:
+            continue
+        fn = spec[0]
+        if fn in ("count", "count_distinct"):
+            typ = S.XSD_INTEGER
+        elif fn == "sample":
+            continue  # a node key already
+        elif fn == "group_concat":
+            encode[alias] = F.when(
+                F.col(alias).isNotNull(),
+                F.concat(F.lit('"'), F.col(alias), F.lit('"^^<>')),
+            )
+            continue
+        elif fn == "avg":
+            raise SparqlParseError(
+                "sparql subquery: AVG projects a double, whose "
+                "re-encoding as a literal is engine-specific — "
+                "compare it inside the subquery (HAVING) instead"
+            )
+        else:
+            typ = spec[2]
+        if typ not in _EXACT_REENCODE:
+            raise SparqlParseError(
+                f"sparql subquery: aggregate {alias!r} over {typ} "
+                "cannot be re-encoded exactly as a node key — use an "
+                "integer/boolean/string-typed aggregate, or compare "
+                "it inside the subquery (HAVING)"
+            )
+        encode[alias] = F.when(
+            F.col(alias).isNotNull(),
+            F.concat(
+                F.lit('"'),
+                F.col(alias).cast("string"),
+                F.lit(f'"^^<{typ}>'),
+            ),
+        )
+    if encode:
+        df = df.select(
+            *[
+                encode[c].alias(c) if c in encode else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df
 
 
 def _apply_order_limit(df, order_by, limit, offset=None):
@@ -1384,7 +1487,7 @@ def _ask_group(graph, g: dict) -> bool:
     from triplestore_spark.operators.bgp import _as_obj, _is_var, bgp_match
     from triplestore_spark.operators.graph import RDFGraph, object_predicate
 
-    kw = _match_kwargs(g)
+    kw = _match_kwargs(g, graph)
     has_var = any(
         any(_is_var(t) for t in pat) for pat in g["patterns"]
     )
@@ -1433,10 +1536,23 @@ def sparql_query(graph, text: str):
                 "one CONSTRUCT per arm and add() the results"
             )
         return bgp_construct(
-            graph, where["patterns"], q["template"], **_match_kwargs(where)
+            graph, where["patterns"], q["template"],
+            **_match_kwargs(where, graph)
         )
 
     # SELECT
+    return _select_df(graph, q)
+
+
+def _select_df(graph, q: dict):
+    """Compile one parsed SELECT (top-level or subquery) to a
+    DataFrame. Subqueries recurse through here via _match_kwargs, so
+    nesting depth is bounded only by the parser's input."""
+    from triplestore_spark.operators.bgp import bgp_match
+    from triplestore_spark.operators.bgp_agg import bgp_select, bgp_union
+
+    where = q["where"]
+    arms = where.get("union")
     aggregates = q["aggregates"]
     group_by = q["group_by"]
     if arms:
@@ -1462,7 +1578,7 @@ def sparql_query(graph, text: str):
                 df = df.distinct()
         return _apply_order_limit(df, q["order_by"], q["limit"], q["offset"])
 
-    kw = _match_kwargs(where)
+    kw = _match_kwargs(where, graph)
     if aggregates or group_by:
         plain = [
             v for v in (q["projection"] or []) if v not in aggregates
