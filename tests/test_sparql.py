@@ -648,7 +648,9 @@ def test_unsupported_constructs_named(g):
          "BIND(xsd:integer(?w) AS ?y) }", "bare cast"),
         ("SELECT * WHERE { ?s kg:words ?w . "
          "BIND(?w + 1 AS ?y) }", "needs a cast"),
-        ("SELECT * WHERE { ?s ?p ?o . { SELECT * WHERE { ?a ?b ?c } } }",
+        # a nested plain group (no SELECT) still refuses — only
+        # subqueries and pure UNION groups may nest
+        ("SELECT * WHERE { ?s ?p ?o . { ?a ?b ?c } }",
          "triples with nested"),
         ("SELECT ?a WHERE { ?a kg:m ?x . ?b kg:m ?y "
          "FILTER(?x < ?y) }", "needs a"),
