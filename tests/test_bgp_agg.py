@@ -402,3 +402,56 @@ def test_typed_order_by_topk(agg_graph, agg_con):
         bgp_select(
             agg_graph, spec["patterns"], order_by=[("?d", "sideways")]
         )
+
+
+# -- aggregation over UNION --------------------------------------------
+
+
+def test_union_aggregation_differential(agg_graph, agg_con):
+    """GROUP BY + aggregates over the unioned solution MULTISET (bag
+    union feeding one hash aggregation) == the generated DuckDB twin,
+    including typed sums that decode-NULL the wrong-tagged literal."""
+    groups = [
+        [("?d", "kg:mentions", "?e"), ("?e", "rdf:type", "kg:Engine")],
+        [("?d", "kg:mentions", "?e"), ("?e", "rdf:type", "kg:Stream")],
+    ]
+    spec = dict(
+        group_by=["?e"],
+        aggregates={
+            "n_docs": ("count", "?d"),
+            "n_distinct": ("count_distinct", "?d"),
+        },
+        order_by=["?e"],
+    )
+    got = _spark_rows(bgp_union(agg_graph, groups, **spec))
+    assert got == _duck_rows(agg_con, bgp_union_sql(groups, **spec))
+    assert ("<e:spark>", 4, 4) in got
+    # bag semantics: duplicating an arm doubles every count
+    got2 = _spark_rows(bgp_union(agg_graph, groups + groups, **spec))
+    assert ("<e:spark>", 8, 4) in got2
+
+
+def test_union_aggregation_typed_sum_and_having(agg_graph, agg_con):
+    groups = [
+        [("?d", "kg:mentions", "?e"), ("?d", "kg:nchars", "?n")],
+        [("?d", "kg:lang", "?l"), ("?d", "kg:nchars", "?n")],
+    ]
+    spec = dict(
+        group_by=["?d"],
+        aggregates={"tot": ("sum", "?n", "xsd:integer")},
+        having=[("tot", ">", 50)],
+        order_by=["?d"],
+    )
+    got = _spark_rows(bgp_union(agg_graph, groups, **spec))
+    assert got == _duck_rows(agg_con, bgp_union_sql(groups, **spec))
+    # doc:4 appears in BOTH arms (40 + 40 = 80 > 50): bag semantics
+    assert ("<doc:4>", 80) in got
+    # doc:3's nchars literal is wrong-tagged -> decodes NULL -> no row
+    assert not any(r[0] == "<doc:3>" for r in got)
+
+
+def test_union_aggregation_validations(agg_graph):
+    with pytest.raises(ValueError, match="having requires aggregates"):
+        bgp_union(agg_graph, [MENTIONS], having=[("n", ">", 1)])
+    with pytest.raises(ValueError, match="having requires aggregates"):
+        bgp_union_sql([MENTIONS], having=[("n", ">", 1)])

@@ -457,13 +457,15 @@ def test_union_with_projection_and_arm_filters(g):
     assert got.columns == ["d"]
 
 
-def test_union_aggregation_refused(g):
-    with pytest.raises(SparqlParseError, match="UNION"):
-        sparql_query(
-            g,
-            "SELECT (COUNT(*) AS ?n) WHERE "
-            "{ { ?d kg:source src:web } UNION { ?d kg:mentions ?e } }",
-        )
+def test_union_aggregation_ungrouped(g):
+    """A global aggregate over UNION counts the bag-union multiset."""
+    got = sparql_query(
+        g,
+        "SELECT (COUNT(*) AS ?n) WHERE "
+        "{ { ?d kg:source src:web } UNION { ?d kg:mentions ?e } }",
+    )
+    # 1 web-source row + 5 mention rows
+    assert [tuple(r) for r in got.collect()] == [(6,)]
 
 
 # -------------------------------------------- ASK/CONSTRUCT/DESCRIBE
@@ -888,3 +890,30 @@ def test_subquery_group_concat_simple_literal(g):
     assert r["<e:duck>"] == '""Duck"^^<xsd:string>"^^<>'
     assert r["<e:spark>"] == \
         '""Etincelle"@fr|"Spark"^^<xsd:string>"^^<>'
+
+
+def test_union_aggregation_front_door(g):
+    """Aggregation over UNION compiles to bgp_union's aggregation
+    path (bag union feeding one hash aggregation)."""
+    got = g.sparql(
+        "SELECT ?e (COUNT(?d) AS ?cnt) WHERE { "
+        "{ ?d kg:mentions ?e . ?d kg:source src:web } UNION "
+        "{ ?d kg:mentions ?e . ?d kg:source src:book } } "
+        "GROUP BY ?e ORDER BY ?e"
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        ("<e:duck>", 1), ("<e:spark>", 2),
+    ]
+    want = bgp_union(
+        g,
+        [
+            [("?d", "kg:mentions", "?e"), ("?d", "kg:source", "src:web")],
+            [("?d", "kg:mentions", "?e"),
+             ("?d", "kg:source", "src:book")],
+        ],
+        group_by=["?e"],
+        aggregates={"cnt": ("count", "?d")},
+        order_by=["?e"],
+    )
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]

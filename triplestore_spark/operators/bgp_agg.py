@@ -171,6 +171,14 @@ def bgp_select(
         "distinct", not (group_by or aggregates)
     )
     df = bgp_match(graph, patterns, distinct=distinct, **match_kwargs)
+    df = _aggregate_df(df, group_by, aggregates, having)
+    return _modify_df(df, order_by, limit)
+
+
+def _aggregate_df(df, group_by, aggregates, having) -> DataFrame:
+    """The post-match aggregation stage, shared by bgp_select and
+    bgp_union: one hash aggregation (Catalyst plans partial+final, so
+    the shuffle carries keys and partial states only) plus HAVING."""
     group_vars = [_var(g) if _is_var(g) else g for g in (group_by or [])]
     if aggregates:
         aggs = [_agg_column(a, spec) for a, spec in aggregates.items()]
@@ -188,6 +196,11 @@ def bgp_select(
         if op not in _FILTER_OPS:
             raise ValueError(f"having: unknown op {op!r}")
         df = df.where(_FILTER_OPS[op](F.col(alias), F.lit(value)))
+    return df
+
+
+def _modify_df(df, order_by, limit) -> DataFrame:
+    """Solution modifiers (ORDER BY / LIMIT), shared."""
     if order_by:
         cols = []
         for o in order_by:
@@ -276,6 +289,17 @@ def bgp_select_sql(
         patterns, table, optional=optional, anti=anti, values=values,
         distinct=distinct,
     )
+    return _sql_agg_wrap(
+        inner, group_by, aggregates, having, order_by, limit
+    )
+
+
+def _sql_agg_wrap(
+    inner: str, group_by, aggregates, having, order_by, limit
+) -> str:
+    """Wrap an inner solution SQL in the aggregation + modifier tail
+    (GROUP BY / HAVING / ORDER BY / LIMIT) — shared by bgp_select_sql
+    and bgp_union_sql so both twins derive from the same spec code."""
     group_vars = [_var(g) if _is_var(g) else g for g in (group_by or [])]
     selects = list(group_vars)
     if aggregates:
@@ -353,14 +377,33 @@ def _union_vars(groups: Sequence[dict]) -> list[str]:
     return out
 
 
-def bgp_union(graph, groups: Sequence, *, distinct: bool = True) -> DataFrame:
+def bgp_union(
+    graph,
+    groups: Sequence,
+    *,
+    distinct: bool = True,
+    group_by: Sequence[str] | None = None,
+    aggregates: Mapping[str, tuple] | None = None,
+    having: Sequence[tuple] | None = None,
+    order_by: Sequence[tuple | str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
     """SPARQL UNION: match every arm independently and stack the
     solutions. Output columns are the union of all arms' variables in
     first-appearance order; an arm that doesn't bind a variable
     contributes NULL there (per spec). Arms may carry their own
     optional/anti/filters. The union itself is shuffle-free
     (partition concat); `distinct=True` adds SPARQL set semantics
-    with one hash aggregation."""
+    with one hash aggregation.
+
+    `group_by`/`aggregates`/`having` aggregate OVER the unioned
+    solution multiset (bag union, per SPARQL — the arms stack without
+    dedup and the aggregation consumes the multiset; `distinct` is
+    ignored in that mode since aggregation output is set-like).
+    Specs are exactly bgp_select's; the single hash aggregation sits
+    on top of the shuffle-free union, so the plan is partial+final
+    aggregation over the concatenated arm scans — no extra exchange
+    versus aggregating one arm."""
     norm = [_norm_group(g) for g in groups]
     if not norm:
         raise ValueError("bgp_union: no arms")
@@ -378,7 +421,14 @@ def bgp_union(graph, groups: Sequence, *, distinct: bool = True) -> DataFrame:
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out.distinct() if distinct else out
+    if aggregates or group_by:
+        out = _aggregate_df(out, group_by, aggregates, having)
+        return _modify_df(out, order_by, limit)
+    if having:
+        raise ValueError("bgp_union: having requires aggregates")
+    return _modify_df(
+        out.distinct() if distinct else out, order_by, limit
+    )
 
 
 def bgp_union_sql(
@@ -386,9 +436,16 @@ def bgp_union_sql(
     table: str = "triples",
     *,
     distinct: bool = True,
+    group_by: Sequence[str] | None = None,
+    aggregates: Mapping[str, tuple] | None = None,
+    having: Sequence[tuple] | None = None,
+    order_by: Sequence[tuple | str] | None = None,
+    limit: int | None = None,
 ) -> str:
     """DuckDB twin of bgp_union — UNION ALL of per-arm BGP SQL with
-    NULL-padded missing variables, outer DISTINCT for set mode."""
+    NULL-padded missing variables, outer DISTINCT for set mode, and
+    the same aggregation tail as bgp_select_sql when group_by/
+    aggregates are given (bag union feeding one GROUP BY)."""
     norm = [_norm_group(g) for g in groups]
     if not norm:
         raise ValueError("bgp_union: no arms")
@@ -429,6 +486,14 @@ def bgp_union_sql(
         )
         arms.append(f"SELECT {cols} FROM ({inner}) u{i}")
     sql = " UNION ALL ".join(arms)
+    if aggregates or group_by:
+        return _sql_agg_wrap(
+            sql, group_by, aggregates, having, order_by, limit
+        )
+    if having:
+        raise ValueError("bgp_union: having requires aggregates")
     if distinct:
         sql = f"SELECT DISTINCT * FROM ({sql}) un"
+    if order_by or limit is not None:
+        sql = _sql_agg_wrap(sql, None, None, None, order_by, limit)
     return sql

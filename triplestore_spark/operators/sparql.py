@@ -69,8 +69,10 @@ subset above (IF/COALESCE, float arithmetic — engine-specific float
 formatting would silently diverge from the Go-parity constructors),
 OFFSET without ORDER BY, property paths that don't factor into the
 engine's sequence-of-(alternation+quantifier) steps (e.g. (p1/p2)*
-— closure over a sequence), mixing triples with UNION
-blocks in one group, and aggregation over UNION. Prefixed names with
+— closure over a sequence), and mixing triples with UNION
+blocks in one group. Aggregation over UNION aggregates the unioned
+solution multiset (bag union feeding one hash aggregation).
+Prefixed names with
 an UNDECLARED prefix pass through verbatim — this repo's graphs
 store compact IRIs ('kg:mentions', 'rdf:type') literally, so
 undeclared prefixes are how queries address them; `a` maps to the
@@ -1556,14 +1558,47 @@ def _select_df(graph, q: dict):
     aggregates = q["aggregates"]
     group_by = q["group_by"]
     if arms:
-        if aggregates or group_by:
-            raise SparqlParseError(
-                "sparql: aggregation over UNION is not supported — "
-                "aggregate each arm or union first via graph.union()"
-            )
         union_arms = [
             {"patterns": g["patterns"], **_match_kwargs(g)} for g in arms
         ]
+        if aggregates or group_by:
+            # aggregation over the unioned solution MULTISET (bag
+            # union per SPARQL); mirrors the single-group branch below
+            plain = [
+                v for v in (q["projection"] or []) if v not in aggregates
+            ]
+            stray = [v for v in plain if v not in group_by]
+            if stray:
+                raise SparqlParseError(
+                    f"sparql: projected variables {stray} must appear "
+                    "in GROUP BY (or inside an aggregate)"
+                )
+            late_mods = q["distinct"] and (q["order_by"] or q["limit"])
+            df = bgp_union(
+                graph,
+                union_arms,
+                group_by=["?" + v for v in group_by],
+                aggregates=aggregates,
+                having=q["having"] or None,
+                order_by=None if late_mods else (q["order_by"] or None),
+                limit=None if late_mods else q["limit"],
+            )
+            proj = q["projection"]
+            if proj:
+                missing = [v for v in proj if v not in df.columns]
+                if missing:
+                    raise SparqlParseError(
+                        f"sparql: projected names {missing} are not "
+                        "produced by GROUP BY / aggregates"
+                    )
+                df = df.select(*proj)
+            if q["distinct"]:
+                df = df.distinct()
+            if late_mods:
+                df = _apply_order_limit(
+                    df, q["order_by"], q["limit"], q["offset"]
+                )
+            return df
         df = bgp_union(graph, union_arms, distinct=q["distinct"])
         proj = q["projection"]
         if proj:
