@@ -1591,3 +1591,85 @@ def test_bgp_joins_validation(priced_graph):
     with pytest.raises(ValueError, match="cartesian"):
         bgp_match(priced_graph, [("?i", "kg:label", "?l")],
                   joins=[lone])
+
+
+# -- closure over a sequence group ((p1/p2)*) --------------------------
+
+
+def test_seq_group_closure_cycle(spark):
+    """(p/q)* closes over the COMPOSED relation — cycle-safe, exact
+    reachable set, reversible from a pinned end."""
+    rows = [
+        ("a", False, "p", "res", "b", "", ""),
+        ("b", False, "q", "res", "c", "", ""),
+        ("c", False, "p", "res", "d", "", ""),
+        ("d", False, "q", "res", "e", "", ""),
+        ("x", False, "p", "res", "y", "", ""),  # (p/q) cycle x<->x
+        ("y", False, "q", "res", "x", "", ""),
+        ("a", False, "r", "res", "x", "", ""),
+    ]
+    g = RDFGraph(
+        spark.createDataFrame(rows, S.TRIPLE_SCHEMA), cache=False
+    )
+    assert _path_rows(g, ["(p/q)*"], start="a") == [
+        ("<a>",), ("<c>",), ("<e>",)
+    ]
+    assert _path_rows(g, ["(p/q)+"], start="a") == [
+        ("<c>",), ("<e>",)
+    ]
+    # through the cycle: r then (p/q)* loops back to x only
+    assert _path_rows(g, ["r", "(p/q)*"], start="a") == [("<x>",)]
+    # pinned end: reversed group walk gives the same pairs
+    assert _path_rows(g, ["(p/q)*"], end="e") == [
+        ("<a>",), ("<c>",), ("<e>",)
+    ]
+    # explicit inverse sequence
+    assert _path_rows(g, ["(^q/^p)*"], start="e") == [
+        ("<a>",), ("<c>",), ("<e>",)
+    ]
+
+
+def test_seq_group_differential_vs_recursive_cte(spark):
+    """Random graph: sequence-group closure == DuckDB WITH RECURSIVE
+    over the composed edge relation (property_path_sql emits the
+    join-composed edge CTE)."""
+    from triplestore_spark.operators.bgp import property_path_sql
+
+    rows = _random_rows(29)
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    con = _duck(rows)
+    cases = [
+        (["(p0/p1)*"], {"start": "e1"}),
+        (["(p0/p1)+"], {"start": "e1"}),
+        (["(p0/p1){1,2}"], {"start": "e1"}),
+        (["(p0|p1/p2)*"], {"start": "e2"}),   # alternation inside
+        (["(^p0/p1)*"], {"start": "e1"}),     # inverse hop inside
+        (["(p0/p1)*"], {"end": "e3"}),        # reversed group walk
+        (["p2", "(p0/p1)*"], {"start": "e2"}),
+        (["(p0/p1/p2){1,}"], {"start": "e1"}),
+    ]
+    nonempty = 0
+    for path, kw in cases:
+        got = _spark_rows(property_path(g, path, **kw))
+        want = _duck_rows(con, property_path_sql(path, **kw))
+        assert got == want, (path, kw)
+        nonempty += bool(got)
+    assert nonempty >= 6
+
+
+def test_seq_group_parse_refusals(cycle_graph):
+    from triplestore_spark.operators.bgp import PathExpr
+
+    with pytest.raises(ValueError, match="FIXED-LENGTH"):
+        property_path(cycle_graph, ["(p*/q)+"], start="a")
+    with pytest.raises(ValueError, match="nested quantifiers"):
+        property_path(cycle_graph, ["(p+)*"], start="a")
+    with pytest.raises(ValueError, match="bad group syntax"):
+        property_path(cycle_graph, ["(p/q)*x"], start="a")
+    with pytest.raises(ValueError, match="bad group syntax"):
+        property_path(cycle_graph, ["(p/q*"], start="a")
+    with pytest.raises(ValueError, match="unbalanced"):
+        PathExpr("(p/q*")  # the string splitter checks balance
+    # plain parens splice: (p/q) == p/q
+    assert _path_rows(cycle_graph, ["(p/p)"], start="a") == \
+        _path_rows(cycle_graph, ["p", "p"], start="a")

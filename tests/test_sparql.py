@@ -342,12 +342,38 @@ def test_path_closure_matches_property_path(g):
 
 
 def test_unsupported_path_shapes():
-    with pytest.raises(SparqlParseError, match="sequence"):
-        parse_sparql("SELECT * WHERE { ?x (kg:a/kg:b)* ?y }")
+    with pytest.raises(SparqlParseError, match="nested path quant"):
+        parse_sparql("SELECT * WHERE { ?x (kg:a*/kg:b)* ?y }")
     with pytest.raises(SparqlParseError, match="quantifiers"):
         parse_sparql("SELECT * WHERE { ?x kg:a*|kg:b ?y }")
     with pytest.raises(SparqlParseError, match="inverse"):
         parse_sparql("SELECT * WHERE { ?x !(^kg:a) ?y }")
+
+
+def test_path_sequence_closure(g):
+    """(p1/p2)* — closure over the composed sequence relation —
+    compiles through to property_path's group syntax."""
+    # kg:Engine --sub--> kg:System --sub--> kg:Thing; (sub/sub)*
+    # from kg:Engine reaches itself (0 hops) and kg:Thing (1 pair)
+    got = sparql_query(
+        g, "SELECT ?c WHERE { kg:Engine (kg:sub/kg:sub)* ?c }"
+    )
+    assert sorted(r["c"] for r in got.collect()) == [
+        "<kg:Engine>", "<kg:Thing>"
+    ]
+    want = property_path(
+        g, ["(kg:sub/kg:sub)*"], start="kg:Engine"
+    ).select("dst")
+    assert sorted(r["c"] for r in got.collect()) == sorted(
+        r["dst"] for r in want.collect()
+    )
+    # inverse distributes: ^((sub/sub)*) from kg:Thing walks back
+    inv = sparql_query(
+        g, "SELECT ?c WHERE { ?c (kg:sub/kg:sub)* kg:Thing }"
+    )
+    assert sorted(r["c"] for r in inv.collect()) == [
+        "<kg:Engine>", "<kg:Thing>"
+    ]
 
 
 # ------------------------------------------------- aggregation etc.

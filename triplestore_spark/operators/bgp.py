@@ -55,22 +55,51 @@ Pattern = tuple[Term, Term, Term]
 class PathExpr:
     """Explicit path expression for a pattern's predicate position:
     PathExpr('kg:a/kg:b*') or PathExpr(['kg:a', 'kg:b*']). The string
-    form splits steps on '/'; each step takes the full property_path
-    step syntax (inverse '^p', alternation 'p1|p2', quantifiers
-    'p*'/'p+'/'p{m,n}'). Plain string predicates containing path
-    metacharacters ('|', '^', '*', '+', '{', or '/' outside '://')
-    are auto-detected — PathExpr exists for explicit control and for
-    the rare IRI that would misdetect."""
+    form splits steps on '/' outside parentheses; each step takes the
+    full property_path step syntax (inverse '^p', alternation 'p1|p2',
+    quantifiers 'p*'/'p+'/'p{m,n}', and a quantified SEQUENCE group
+    '(p1/p2)*' — closure over the composed relation). Plain string
+    predicates containing path metacharacters ('|', '^', '*', '+',
+    '{', '!', '(', or '/' outside '://') are auto-detected — PathExpr
+    exists for explicit control and for the rare IRI that would
+    misdetect."""
 
     __slots__ = ("steps",)
 
     def __init__(self, expr):
         if isinstance(expr, str):
-            self.steps = [s for s in expr.split("/") if s]
+            self.steps = _split_path_expr(expr)
         else:
             self.steps = list(expr)
         if not self.steps:
             raise ValueError(f"PathExpr: empty path {expr!r}")
+
+
+def _split_path_expr(expr: str) -> list[str]:
+    """Split a path string on '/' at parenthesis depth 0 (so a
+    sequence group '(a/b)*' stays one step); empty segments drop,
+    matching the historical split-on-'/' behavior."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for c in expr:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"path: unbalanced ')' in {expr!r}")
+        if c == "/" and depth == 0:
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            continue
+        buf.append(c)
+    if depth != 0:
+        raise ValueError(f"path: unbalanced '(' in {expr!r}")
+    if buf:
+        out.append("".join(buf))
+    return out
 
 
 def _is_path_pred(p) -> bool:
@@ -78,15 +107,13 @@ def _is_path_pred(p) -> bool:
         return True
     if not isinstance(p, str) or p.startswith("?"):
         return False
-    if any(c in p for c in "|^*+{!"):
+    if any(c in p for c in "|^*+{!("):
         return True
     return "/" in p and "://" not in p
 
 
 def _path_steps(p) -> list[str]:
-    return p.steps if isinstance(p, PathExpr) else [
-        s for s in p.split("/") if s
-    ]
+    return p.steps if isinstance(p, PathExpr) else _split_path_expr(p)
 
 
 def _is_var(t: Term) -> bool:
@@ -987,6 +1014,36 @@ def _path_step_alternatives(step) -> list[str]:
 _QUANT_RE = __import__("re").compile(r"^(.*?)(\*|\+|\{(\d+)(?:,(\d*))?\})$")
 
 
+class _SeqGroup:
+    """A parenthesized SEQUENCE under one quantifier — '(p1/p2)*'.
+    Carries the parsed inner steps (each an (alts, 1, 1) hop — the
+    group closes over a FIXED-LENGTH sequence; nested quantifiers are
+    refused by name). The closure composes the inner hops into one
+    (src, dst) edge relation and walks THAT, so per closure level the
+    walk joins the precomposed relation instead of re-deriving the
+    chain."""
+
+    __slots__ = ("steps",)
+
+    def __init__(self, steps):
+        self.steps = steps
+
+
+def _parse_path_steps(path) -> list[tuple]:
+    """Parse a path's step list; a parenthesized group WITHOUT a
+    quantifier is pure grouping and splices its steps inline."""
+    steps: list[tuple] = []
+    for s in path:
+        alts, lo, hi = _parse_path_step(s)
+        if isinstance(alts, _SeqGroup) and (lo, hi) == (1, 1):
+            steps.extend(alts.steps)
+        else:
+            steps.append((alts, lo, hi))
+    if not steps:
+        raise ValueError("property_path: empty path")
+    return steps
+
+
 def _parse_path_step(step) -> tuple[list[str], int, int | None]:
     """-> (alternatives, min_hops, max_hops|None). A plain step is
     (alts, 1, 1); 'p*' -> (['p'], 0, None); 'p+' -> (['p'], 1, None);
@@ -996,7 +1053,12 @@ def _parse_path_step(step) -> tuple[list[str], int, int | None]:
     !(p1|p2)): one forward hop whose predicate is NOT in the listed
     set; its alternatives come back each prefixed '!' (all-or-none by
     construction). Forward-only ('^' inside a negated set is refused),
-    quantifiers compose ('!p*' = closure over the complement)."""
+    quantifiers compose ('!p*' = closure over the complement).
+
+    A parenthesized SEQUENCE with a quantifier — '(p1/p2)*' — parses
+    to (_SeqGroup(inner_steps), lo, hi): closure over the composed
+    inner relation. Inner steps must be fixed-length (alternation and
+    inverse fine; a nested quantifier raises by name)."""
     if isinstance(step, str):
         base = step.strip()
         lo, hi = 1, 1
@@ -1016,6 +1078,40 @@ def _parse_path_step(step) -> tuple[list[str], int, int | None]:
                 )
             if hi is not None and hi < lo:
                 raise ValueError(f"property_path: bad quantifier {q!r}")
+        if base.startswith("(") and base.endswith(")"):
+            inner = _split_path_expr(base[1:-1])
+            if not inner:
+                raise ValueError(f"property_path: empty group {step!r}")
+            if len(inner) == 1:
+                # pure alternation/precedence parens: (p1|p2)* is the
+                # existing whole-step quantifier semantics
+                in_alts, in_lo, in_hi = _parse_path_step(inner[0])
+                if (lo, hi) == (1, 1):
+                    return in_alts, in_lo, in_hi
+                if (in_lo, in_hi) != (1, 1):
+                    raise ValueError(
+                        "property_path: nested quantifiers "
+                        f"({step!r}) are not supported"
+                    )
+                return in_alts, lo, hi
+            inner_steps = [_parse_path_step(s) for s in inner]
+            if (lo, hi) != (1, 1):
+                for in_alts, in_lo, in_hi in inner_steps:
+                    if isinstance(in_alts, _SeqGroup) \
+                            or (in_lo, in_hi) != (1, 1):
+                        raise ValueError(
+                            "property_path: a quantified group closes "
+                            "over a FIXED-LENGTH sequence only — "
+                            f"nested quantifiers/groups in {step!r} "
+                            "are refused"
+                        )
+            return _SeqGroup(inner_steps), lo, hi
+        if "(" in base or ")" in base:
+            raise ValueError(
+                f"property_path: bad group syntax {step!r} — a "
+                "parenthesized group must span the whole step, with "
+                "an optional trailing quantifier"
+            )
         if base.startswith("!"):
             preds = [a.strip() for a in base[1:].split("|")]
             if not preds or any(
@@ -1037,6 +1133,22 @@ def _invert_alt(a: str) -> str:
             "backward — pin the start of the chain instead"
         )
     return a[1:] if a.startswith("^") else "^" + a
+
+
+def _invert_parsed_step(step: tuple) -> tuple:
+    """^(step): invert every alternative, keep the quantifier; a
+    sequence group reverses its hops and inverts each ( ^((a/b)*) ==
+    (^b/^a)* )."""
+    alts, lo, hi = step
+    if isinstance(alts, _SeqGroup):
+        return (
+            _SeqGroup(
+                [_invert_parsed_step(s) for s in reversed(alts.steps)]
+            ),
+            lo,
+            hi,
+        )
+    return [_invert_alt(a) for a in alts], lo, hi
 
 
 def _negated_hop_frame(graph, excluded: Sequence[str], src_t, dst_t):
@@ -1082,6 +1194,34 @@ def _closure_edges(
     for f in frames[1:]:
         edges = edges.unionByName(f)
     return edges.select(F.col("__cs").alias("_cs"), F.col("__cd").alias("_cd"))
+
+
+def _seq_edges(graph, inner_steps: Sequence[tuple]) -> DataFrame:
+    """(_cs, _cd) edge relation of a FIXED-LENGTH sequence group —
+    '(p1/p2)*' closes over THIS. Each hop's edge frame (alternation /
+    inverse / negated handled by _closure_edges) composes left-to-
+    right with one equi-join per hop; the result is distinct (the
+    closure is set-valued anyway, and dedup shrinks the cached edge
+    set before the walk). Composing ONCE and caching beats deriving
+    the chain again at every closure level."""
+    cur: DataFrame | None = None
+    for alts, lo, hi in inner_steps:
+        if isinstance(alts, _SeqGroup) or (lo, hi) != (1, 1):
+            raise ValueError(
+                "property_path: a quantified group closes over a "
+                "fixed-length sequence only (no nested quantifiers)"
+            )
+        hop = _closure_edges(graph, alts)
+        if cur is None:
+            cur = hop
+        else:
+            hop = hop.select(
+                F.col("_cs").alias("_hs"), F.col("_cd").alias("_hd")
+            )
+            cur = cur.join(hop, cur["_cd"] == hop["_hs"]).select(
+                "_cs", F.col("_hd").alias("_cd")
+            )
+    return cur.distinct()
 
 
 def _closure_pairs(
@@ -1167,7 +1307,12 @@ def property_path(
     semantics: union of the alternatives' hops), or a QUANTIFIED step
     'p*' / 'p+' / 'p{m,n}' / 'p{m,}' (Kleene closure — a trailing
     quantifier on the string form applies to the whole step, so
-    '^p|q*' reads as SPARQL (^p|q)*). Hop variables stitch
+    '^p|q*' reads as SPARQL (^p|q)*), or a quantified SEQUENCE GROUP
+    '(p1/p2)*' (closure over the composed relation: the inner hops —
+    alternation/inverse/negated fine, nested quantifiers refused —
+    join into ONE cached (src, dst) edge set via _seq_edges, and the
+    frontier walks that, so each closure level costs one join however
+    long the inner sequence is). Hop variables stitch
     object-of-step-i to subject-of-step-i+1 — exact because both
     positions bind the same node-key space. `start`/`end` pin the
     endpoints (subject string / Obj or IRI string respectively).
@@ -1194,15 +1339,12 @@ def property_path(
     """
     if not path:
         raise ValueError("property_path: empty path")
-    steps = [_parse_path_step(s) for s in path]
+    steps = _parse_path_steps(path)
     swapped = False
     if start is None and steps[0][1:] != (1, 1):
         # unrooted leading closure: walk from the other end if pinned
         if end is not None or steps[-1][1:] == (1, 1):
-            steps = [
-                ([_invert_alt(a) for a in alts], lo, hi)
-                for alts, lo, hi in reversed(steps)
-            ]
+            steps = [_invert_parsed_step(s) for s in reversed(steps)]
             start, end = end, None
             swapped = True
             if start is None and steps[0][1:] != (1, 1):
@@ -1226,7 +1368,11 @@ def property_path(
     for i, (alts, lo, hi) in enumerate(steps):
         src_t, dst_t = terms[i], terms[i + 1]
         if (lo, hi) != (1, 1):
-            edges = _closure_edges(graph, alts)
+            edges = (
+                _seq_edges(graph, alts.steps)
+                if isinstance(alts, _SeqGroup)
+                else _closure_edges(graph, alts)
+            )
             if cur is None:
                 # first step: seed from the pinned start constant
                 spark = edges.sparkSession
@@ -1700,14 +1846,11 @@ def property_path_sql(
     are swapped back)."""
     if not path:
         raise ValueError("property_path_sql: empty path")
-    steps = [_parse_path_step(s) for s in path]
+    steps = _parse_path_steps(path)
     swapped = False
     if start is None and steps[0][1:] != (1, 1):
         if end is not None or steps[-1][1:] == (1, 1):
-            steps = [
-                ([_invert_alt(a) for a in alts], lo, hi)
-                for alts, lo, hi in reversed(steps)
-            ]
+            steps = [_invert_parsed_step(s) for s in reversed(steps)]
             start, end = end, None
             swapped = True
             if start is None and steps[0][1:] != (1, 1):
@@ -1722,9 +1865,30 @@ def property_path_sql(
                 "pinned start (or a pinned end to walk backward from)"
             )
 
-    def edge_sql(alts: Sequence[str]) -> str:
+    def edge_sql(alts) -> str:
         skey = _SKEY_SQL.format(a="t")
         okey = _OKEY_SQL.format(a="t")
+        if isinstance(alts, _SeqGroup):
+            # sequence group: compose the inner hops' edge subqueries
+            # with one join per hop — the twin of _seq_edges
+            subs = []
+            for in_alts, in_lo, in_hi in alts.steps:
+                if isinstance(in_alts, _SeqGroup) \
+                        or (in_lo, in_hi) != (1, 1):
+                    raise ValueError(
+                        "property_path_sql: a quantified group closes "
+                        "over a fixed-length sequence only"
+                    )
+                subs.append(edge_sql(in_alts))
+            frm = f"({subs[0]}) h0"
+            for k in range(1, len(subs)):
+                frm += (
+                    f" JOIN ({subs[k]}) h{k} ON h{k-1}.ed = h{k}.es"
+                )
+            return (
+                f"SELECT DISTINCT h0.es AS es, "
+                f"h{len(subs) - 1}.ed AS ed FROM {frm}"
+            )
         if alts and alts[0].startswith("!"):
             # negated property set: one complement scan
             excl = ", ".join(_sql_str(a[1:]) for a in alts)

@@ -49,7 +49,8 @@ Supported grammar (case-insensitive keywords)::
                 (its variables must be the group's own)
     triples  := s p o [, o ...] [; p o ...] .  with property paths
                 in the predicate position: p1/p2, ^p, p1|p2, p*, p+,
-                p?, p{m,n}, !(p1|p2), (p1|p2)*, a  (rdf:type)
+                p?, p{m,n}, !(p1|p2), (p1|p2)*, (p1/p2)* (closure
+                over the composed sequence relation), a  (rdf:type)
     constraint := operand op operand where an operand is ?v,
                 xsd:T(?v), or a literal (at least one a variable);
                 op in < <= > >= = != ; regex(?v, "re").
@@ -67,9 +68,9 @@ the construct): subqueries inside UNION arms / OPTIONAL / MINUS
 (lift them out), BIND expressions outside the typed
 subset above (IF/COALESCE, float arithmetic — engine-specific float
 formatting would silently diverge from the Go-parity constructors),
-OFFSET without ORDER BY, property paths that don't factor into the
-engine's sequence-of-(alternation+quantifier) steps (e.g. (p1/p2)*
-— closure over a sequence), and mixing triples with UNION
+OFFSET without ORDER BY, property paths that don't factor into
+steps (alternation of sequences ((a/b)|c), nested quantifiers
+((p*)+)), and mixing triples with UNION
 blocks in one group. Aggregation over UNION aggregates the unioned
 solution multiset (bag union feeding one hash aggregation).
 Prefixed names with
@@ -1192,9 +1193,15 @@ def _quant_suffix(lo: int, hi: int | None) -> str:
 def _invert_step(step: str, err) -> str:
     """^(step) for one compiled engine step: invert every alternative,
     keep the quantifier — inverse distributes over closure and
-    alternation ( ^(p*) == (^p)* , ^(p|q) == ^p|^q )."""
+    alternation ( ^(p*) == (^p)* , ^(p|q) == ^p|^q ); a sequence
+    group reverses its hops and inverts each ( ^((a/b)*) ==
+    (^b/^a)* )."""
     m = _STEP_QUANT_RE.search(step)
     base, quant = (step[: m.start()], m.group()) if m else (step, "")
+    if base.startswith("(") and base.endswith(")"):
+        inner = base[1:-1].split("/")
+        rev = "/".join(_invert_step(s, err) for s in reversed(inner))
+        return "(" + rev + ")" + quant
     alts = []
     for a in base.split("|"):
         if a.startswith("!"):
@@ -1250,11 +1257,17 @@ def _compile_path(node, err) -> list[str]:
         _, child, lo, hi = node
         ss = _compile_path(child, err)
         if len(ss) != 1:
-            raise err(
-                "a quantifier over a multi-step sequence ((p/q)*) is "
-                "not supported — the engine closes over ONE edge set "
-                "per step"
-            )
+            # closure over a SEQUENCE: the engine composes the inner
+            # hops into one edge relation and walks that — emit its
+            # group syntax '(p/q)*'
+            for s in ss:
+                if _STEP_QUANT_RE.search(s) or s.startswith("("):
+                    raise err(
+                        "nested path quantifiers inside a quantified "
+                        "group are not supported (the group closes "
+                        "over a fixed-length sequence)"
+                    )
+            return ["(" + "/".join(ss) + ")" + _quant_suffix(lo, hi)]
         if _STEP_QUANT_RE.search(ss[0]):
             raise err("nested path quantifiers are not supported")
         return [ss[0] + _quant_suffix(lo, hi)]
