@@ -1381,11 +1381,13 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     )
 
     q["bgp_union"] = (
-        # SPARQL UNION (operators/bgp_agg.py bgp_union): two arms with
-        # different variable sets (typed-entity mentions x media
-        # edges); the unbound variable NULL-pads per spec, and set
-        # semantics dedupe across arms. Twin generated by
-        # bgp_union_sql over the same arm specs.
+        # SPARQL UNION + aggregation over the unioned multiset
+        # (operators/bgp_agg.py bgp_union): two arms with different
+        # variable sets (mentions x media edges) NULL-pad each other,
+        # then ONE hash aggregation per doc counts each arm's
+        # contribution separately (COUNT skips the pads, so the
+        # padding is value-checked), HAVING keeps media-carrying
+        # docs. Twin generated by bgp_union_sql from the same spec.
         lambda spark, sf: _bgp_union_gate(spark, sf),
         _bgp_union_oracle(),
     )
@@ -1599,31 +1601,61 @@ def _bgp_star_optional():
     return [[("?doc", "kg:hasMedia", "?m")]]
 
 
+def _bgp_star_sub_spec() -> dict:
+    # subquery: mention count per entity over the whole KG (its own
+    # aggregation scope, evaluated bottom-up, joined back on ?e)
+    return dict(
+        patterns=[("?doc2", spec.PRED_MENTIONS, "?e")],
+        group_by=["?e"],
+        aggregates={"ment_count": ("count", "*")},
+    )
+
+
 def _bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive BGP over the flagship KG: which entities are
     mentioned by documents of each source, and through which typing
     predicate — a 3-pattern star join on ?doc with a predicate
     variable and a constant-object pattern — plus an OPTIONAL media
-    group LEFT-joined on ?doc (operators/bgp.py)."""
+    group LEFT-joined on ?doc, a SUBQUERY solution set (per-entity
+    mention counts, its own aggregation scope) equi-joined on ?e via
+    joins=, and a BIND column deriving a simple-literal label from
+    the ?src node key (operators/bgp.py)."""
     from triplestore_spark.operators.bgp import bgp_match
+    from triplestore_spark.operators.bgp_agg import bgp_select
 
+    kg = _pipeline_canonical(spark, sf_dir)
+    sub = bgp_select(kg, **_bgp_star_sub_spec()).select("e", "ment_count")
     return bgp_match(
-        _pipeline_canonical(spark, sf_dir),
+        kg,
         _bgp_star_patterns(),
         optional=_bgp_star_optional(),
+        joins=[sub],
+        bind={"?lab": ("concat", [("lit", "src="), ("str", "?src")])},
     )
 
 
 def _bgp_star_oracle() -> str:
-    """The DuckDB twin is GENERATED by the same pattern compiler the
-    DataFrame side uses (bgp_match_sql) over a deduped CTE of the
-    independent pipeline oracle — the join graph is derived twice from
-    one declarative pattern list, the data twice from independent
-    pipelines."""
+    """The DuckDB twin is GENERATED by the same compilers the
+    DataFrame side uses (bgp_match_sql for the star, bgp_select_sql
+    for the subquery) over a deduped CTE of the independent pipeline
+    oracle, composed by the same shared-variable equi-join the
+    engine plans; the join graph is derived twice from one
+    declarative pattern list, the data twice from independent
+    pipelines. The BIND column's twin is hand-written SQL (the one
+    piece with no generator): STR() of a resource node key is its
+    IRI text, re-wrapped as a simple literal."""
     from triplestore_spark.operators.bgp import bgp_match_sql
+    from triplestore_spark.operators.bgp_agg import bgp_select_sql
 
-    return _BGP_STAR_ORACLE + bgp_match_sql(
+    star = bgp_match_sql(
         _bgp_star_patterns(), table="bgp", optional=_bgp_star_optional()
+    )
+    sub = bgp_select_sql(table="bgp", **_bgp_star_sub_spec())
+    return _BGP_STAR_ORACLE + (
+        "SELECT m.*, s.ment_count, "
+        "'\"src=' || regexp_extract(m.src, '^<(.*)>$', 1) || '\"^^<>' "
+        "AS lab "
+        f"FROM ({star}) m JOIN ({sub}) s ON m.e = s.e"
     )
 
 
@@ -1677,23 +1709,47 @@ def _bgp_agg_oracle() -> str:
     return _BGP_STAR_ORACLE + bgp_select_sql(table="bgp", **_bgp_agg_spec())
 
 
-def _bgp_union_arms() -> list:
-    return [
-        [("?d", spec.PRED_MENTIONS, "?e")],
-        [("?d", spec.PRED_HAS_MEDIA, "?m")],
-    ]
+def _bgp_union_spec() -> dict:
+    """ONE spec for BOTH bgp_union and bgp_union_sql: two arms with
+    DIFFERENT variable sets (mentions bind ?e, media bind ?m — each
+    arm NULL-pads the other's variable), aggregated over the unioned
+    solution multiset per document. COUNT(?e)/COUNT(?m) count only
+    the arm that binds them, so the NULL padding is value-checked —
+    not just schema-checked — every round; the HAVING keeps docs
+    with at least one media edge (the minority), exercising the
+    post-aggregation filter on both engines."""
+    return dict(
+        groups=[
+            [("?d", spec.PRED_MENTIONS, "?e")],
+            [("?d", spec.PRED_HAS_MEDIA, "?m")],
+        ],
+        group_by=["?d"],
+        aggregates={
+            "n_mentions": ("count", "?e"),
+            "n_media": ("count", "?m"),
+            "first_entity": ("sample", "?e"),
+        },
+        having=[("n_media", ">=", 1)],
+        order_by=["?d"],
+    )
 
 
 def _bgp_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triplestore_spark.operators.bgp_agg import bgp_union
 
-    return bgp_union(_pipeline_canonical(spark, sf_dir), _bgp_union_arms())
+    s = _bgp_union_spec()
+    return bgp_union(
+        _pipeline_canonical(spark, sf_dir), s.pop("groups"), **s
+    )
 
 
 def _bgp_union_oracle() -> str:
     from triplestore_spark.operators.bgp_agg import bgp_union_sql
 
-    return _BGP_STAR_ORACLE + bgp_union_sql(_bgp_union_arms(), table="bgp")
+    s = _bgp_union_spec()
+    return _BGP_STAR_ORACLE + bgp_union_sql(
+        s.pop("groups"), table="bgp", **s
+    )
 
 
 def _shacl_shapes() -> list:
