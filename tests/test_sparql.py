@@ -943,3 +943,92 @@ def test_union_aggregation_front_door(g):
     )
     assert [tuple(r) for r in got.collect()] == \
         [tuple(r) for r in want.collect()]
+
+
+# --------------------------------------------- builtin filter functions
+
+
+def test_builtin_filter_functions(g):
+    cases = [
+        ('FILTER STRSTARTS(?n, "Sp")', {"<e:spark>"}),
+        ('FILTER(STRENDS(?n, "ck"))', {"<e:duck>"}),
+        ('FILTER(CONTAINS(?n, "cell"))', {"<e:spark>"}),
+        ('FILTER(LANG(?n) = "fr")', {"<e:spark>"}),
+        ('FILTER LANGMATCHES(LANG(?n), "FR")', {"<e:spark>"}),
+        ('FILTER LANGMATCHES(LANG(?n), "*")', {"<e:spark>"}),
+        ('FILTER(DATATYPE(?n) = xsd:string)', {"<e:duck>", "<e:spark>"}),
+        ('FILTER(STRLEN(?n) > 5)', {"<e:spark>"}),
+        ('FILTER(STRLEN(?n) <= 5)', {"<e:duck>", "<e:spark>"}),
+    ]
+    for f, want in cases:
+        got = g.sparql(f"SELECT ?e WHERE {{ ?e kg:name ?n {f} }}")
+        assert {r["e"] for r in got.collect()} == want, f
+
+
+def test_builtin_term_kind_tests(g):
+    got = g.sparql(
+        "SELECT ?s WHERE { ?s kg:mentions ?e FILTER isBlank(?s) }"
+    )
+    assert {r["s"] for r in got.collect()} == {"_:b0"}
+    neg = g.sparql(
+        "SELECT ?s WHERE { ?s kg:mentions ?e FILTER(!isBlank(?s)) }"
+    )
+    assert {r["s"] for r in neg.collect()} == {
+        "<doc:1>", "<doc:2>", "<doc:3>"
+    }
+    lit = g.sparql(
+        "SELECT DISTINCT ?p WHERE { ?s ?p ?o FILTER isLiteral(?o) }"
+    )
+    assert {r["p"] for r in lit.collect()} == {
+        "<kg:words>", "<kg:name>"
+    }
+    # complement partition: isIRI + !isIRI == everything
+    a = g.sparql("SELECT ?s ?o WHERE { ?s kg:mentions ?o FILTER isIRI(?s) }")
+    b = g.sparql("SELECT ?s ?o WHERE { ?s kg:mentions ?o FILTER(!isIRI(?s)) }")
+    c = g.sparql("SELECT ?s ?o WHERE { ?s kg:mentions ?o }")
+    assert sorted(rows(a) + rows(b)) == rows(c)
+
+
+def test_builtin_filter_refusals(g):
+    cases = [
+        ("SELECT ?e WHERE { ?e kg:name ?n FILTER(!STRSTARTS(?n, \"S\")) }",
+         "negated STRSTARTS"),
+        ("SELECT ?e WHERE { ?e kg:name ?n FILTER(LANG(?n) != \"fr\") }",
+         "supports ="),
+        ("SELECT ?e WHERE { ?e kg:name ?n FILTER(STRLEN(?n) > ?x) }",
+         "non-negative integer"),
+    ]
+    for text, needle in cases:
+        with pytest.raises(SparqlParseError, match=needle):
+            sparql_query(g, text)
+
+
+def test_bind_if_coalesce(g):
+    got = g.sparql(
+        'SELECT ?e ?best WHERE { ?e rdf:type kg:Engine . '
+        'OPTIONAL { ?e kg:name ?fr FILTER(LANG(?fr) = "fr") } '
+        'OPTIONAL { ?e kg:name ?en FILTER(DATATYPE(?en) = xsd:string) } '
+        'BIND(COALESCE(?fr, ?en, "none") AS ?best) }'
+    )
+    assert rows(got) == [
+        ("<e:duck>", '"Duck"^^<xsd:string>'),
+        ("<e:spark>", '"Etincelle"@fr'),
+    ]
+    got2 = g.sparql(
+        'SELECT ?d ?size WHERE { ?d kg:words ?w . '
+        'BIND(IF(xsd:integer(?w) > 100, "big", "small") AS ?size) }'
+    )
+    assert rows(got2) == [
+        ("<doc:1>", '"big"^^<xsd:string>'),
+        ("<doc:2>", '"small"^^<xsd:string>'),
+        ("<doc:3>", '"big"^^<xsd:string>'),
+    ]
+    # IF with a builtin-test condition
+    got3 = g.sparql(
+        'SELECT ?e ?k WHERE { ?e kg:name ?n . '
+        'BIND(IF(LANGMATCHES(LANG(?n), "fr"), "localized", ?n) AS ?k) }'
+    )
+    r = dict(rows(got3))
+    assert r["<e:spark>"] in (
+        '"localized"^^<xsd:string>', '"Spark"^^<xsd:string>'
+    )

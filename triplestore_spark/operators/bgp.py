@@ -339,6 +339,53 @@ _FILTER_OPS = {
 }
 
 
+# SPARQL builtin test functions over ONE decoded binding: spec op ->
+# Column factory (key, decoded components, constant argument). Each is
+# a pure-Catalyst expression over parse_node_key's components — exact,
+# because it only INSPECTS canonical keys, never re-encodes values.
+def _fn_filters():
+    from triplestore_spark.schema import KIND_RESOURCE
+
+    def _tag_matches(vtyp, want: str):
+        long_form = want
+        if want.startswith("xsd:"):
+            from triplestore_spark.schema import XML_SCHEMA_NAMESPACE
+
+            long_form = f"{XML_SCHEMA_NAMESPACE}#{want[4:]}"
+        return vtyp.isin(want, long_form)
+
+    return {
+        # string tests run over the decoded lexical form (literal
+        # value, IRI text, bnode label — SPARQL's STR())
+        "strstarts": lambda key, kind, val, vtyp, lang, a:
+            val.startswith(a),
+        "strends": lambda key, kind, val, vtyp, lang, a:
+            val.endswith(a),
+        "contains": lambda key, kind, val, vtyp, lang, a:
+            val.contains(a),
+        # term-kind tests; the constant argument is True/False to
+        # assert or negate in one spec
+        "isiri": lambda key, kind, val, vtyp, lang, a:
+            (kind == KIND_RESOURCE) == F.lit(bool(a)),
+        "isliteral": lambda key, kind, val, vtyp, lang, a:
+            (kind == "lit") == F.lit(bool(a)),
+        "isblank": lambda key, kind, val, vtyp, lang, a:
+            (kind == "bnode") == F.lit(bool(a)),
+        # LANG(?v) = 'tag' (exact, case-insensitive per BCP47);
+        # langmatches adds the 'en' ~ 'en-GB' prefix rule and '*'
+        "lang": lambda key, kind, val, vtyp, lang, a:
+            F.lower(lang) == str(a).lower(),
+        "langmatches": lambda key, kind, val, vtyp, lang, a:
+            (lang != "") if a == "*" else (
+                (F.lower(lang) == str(a).lower())
+                | F.lower(lang).startswith(str(a).lower() + "-")
+            ),
+        # DATATYPE(?v) = xsd:T — literals only, short or long form
+        "datatype": lambda key, kind, val, vtyp, lang, a:
+            (kind == "lit") & _tag_matches(vtyp, str(a)),
+    }
+
+
 def compile_binding_filter(
     var_col: Column | str, op: str, value, typ: str | None = None
 ) -> Column:
@@ -352,18 +399,48 @@ def compile_binding_filter(
     answer, not a default). Non-matching kinds/tags decode to NULL and
     drop, per SPARQL filter-error semantics.
 
+    Builtin TEST functions take the op slot with a constant argument:
+    ('?v', 'strstarts'|'strends'|'contains', "text") over the decoded
+    lexical form; ('?v', 'isiri'|'isliteral'|'isblank', True|False);
+    ('?v', 'lang'|'langmatches', 'en'|'*'); ('?v', 'datatype',
+    'xsd:integer'). Also 'strlen' with a 4th element naming the
+    comparison: ('?v', 'strlen', 3, '>=') keeps bindings whose
+    decoded value is at least 3 characters.
+
     `value` may be another VARIABLE ('?m') — SPARQL's ?a op ?b form.
     With a type, both keys decode through the same typed cast and the
     cast values compare; without one, '='/'!=' compare the NODE KEYS
     themselves (sameTerm semantics — an IRI never equals a literal
     with the same lexical form), and ordered comparisons are refused
-    exactly as for constants. 'regex' needs a constant pattern."""
+    exactly as for constants. 'regex' and the builtin tests need a
+    constant argument."""
     from triplestore_spark.functions.typed import parse_typed_col
     from triplestore_spark.schema import XSD_DATETIME
 
     key = F.col(var_col) if isinstance(var_col, str) else var_col
-    _, _, val, vtyp, _ = parse_node_key(key)
+    is_b, kind, val, vtyp, lang = parse_node_key(key)
     rhs_var = isinstance(value, str) and value.startswith("?")
+    fns = _fn_filters()
+    if op in fns or op == "strlen":
+        if rhs_var:
+            raise ValueError(
+                f"bgp filter: {op} takes a constant argument, not a "
+                f"variable ({value!r})"
+            )
+        if op == "strlen":
+            cmp_op = typ or "="
+            if cmp_op not in _FILTER_OPS:
+                raise ValueError(
+                    f"bgp filter: strlen comparison {cmp_op!r} must "
+                    "be one of " + "/".join(_FILTER_OPS)
+                )
+            return _FILTER_OPS[cmp_op](F.length(val), F.lit(int(value)))
+        if typ is not None:
+            raise ValueError(
+                f"bgp filter: {op} takes no xsd type (it inspects "
+                "the key's own components)"
+            )
+        return fns[op](key, kind, val, vtyp, lang, value)
     if op == "regex":
         if rhs_var:
             raise ValueError(
@@ -419,6 +496,15 @@ def _bind_refs(spec) -> list[str]:
             if operand[0] == "cast":
                 out.append(_var(operand[1]))
         return out
+    if form == "coalesce":
+        return [r for s in spec[1] for r in _bind_refs(s)]
+    if form == "if":
+        cond = spec[1]
+        out = [_var(cond[0])]
+        if isinstance(cond[2], str) and cond[2].startswith("?"):
+            out.append(_var(cond[2]))
+        out += _bind_refs(spec[2]) + _bind_refs(spec[3])
+        return out
     raise ValueError(f"bgp bind: unknown spec form {spec!r}")
 
 
@@ -442,6 +528,17 @@ def compile_bind_expr(spec) -> Column:
                                  typ is 'xsd:integer' (the one type
                                  whose lexical re-encode is exact) —
                                  result re-encoded as a typed literal
+      ('coalesce', [specs])      SPARQL COALESCE: first non-NULL of
+                                 the sub-specs, in order — exact,
+                                 because it SELECTS among existing
+                                 keys rather than re-encoding
+      ('if', cond, then, else)   SPARQL IF: cond is one
+                                 compile_binding_filter spec tuple
+                                 (('?v', op, value[, typ])); a NULL
+                                 condition (decode error) picks the
+                                 else branch, matching Spark's
+                                 when/otherwise and SPARQL's
+                                 false-on-error test semantics
 
     Error-as-unbound, per SPARQL: a row whose operand decodes NULL
     (tag mismatch, unmatched OPTIONAL variable) binds NULL."""
@@ -493,6 +590,17 @@ def compile_bind_expr(spec) -> Column:
             F.lit('"'),
             res.cast("long").cast("string"),
             F.lit('"^^<' + typ + ">"),
+        )
+    if form == "coalesce":
+        subs = [compile_bind_expr(s) for s in spec[1]]
+        if not subs:
+            raise ValueError("bgp bind: empty coalesce")
+        return F.coalesce(*subs)
+    if form == "if":
+        _, cond, then_s, else_s = spec
+        c = compile_binding_filter(cond[0][1:], *cond[1:])
+        return F.when(c, compile_bind_expr(then_s)).otherwise(
+            compile_bind_expr(else_s)
         )
     raise ValueError(f"bgp bind: unknown spec form {spec!r}")
 

@@ -41,9 +41,12 @@ Supported grammar (case-insensitive keywords)::
                                    those inside via HAVING)
                 or  { group } UNION { group } [UNION ...]
     bindexpr := constant | ?v | STR(?v) | CONCAT(args...) |
+                COALESCE(bindexpr, ...) | IF(constraint, e1, e2) |
                 numop (+|-|*) numop  with numop := xsd:integer(?v)
                 | integer (typed integer arithmetic only — the one
-                numeric whose lexical re-encode is exact); CONCAT
+                numeric whose lexical re-encode is exact; COALESCE
+                and IF are exact for ANY expressions because they
+                SELECT among keys, never re-encode); CONCAT
                 args are STR(?v), ?v, or plain "strings"; a FILTER
                 inside OPTIONAL conditions whether the group binds
                 (its variables must be the group's own)
@@ -55,7 +58,12 @@ Supported grammar (case-insensitive keywords)::
                 xsd:T(?v), or a literal (at least one a variable);
                 op in < <= > >= = != ; regex(?v, "re").
                 ?a = ?b without casts is sameTerm over node keys;
-                ordered ?a < ?b needs a cast on at least one side
+                ordered ?a < ?b needs a cast on at least one side.
+                Builtin tests (bare or inside the parens):
+                STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v) op n,
+                isIRI/isURI/isLiteral/isBlank(?v) (negatable with !),
+                LANG(?v) = "tag", LANGMATCHES(LANG(?v), "range"|"*"),
+                DATATYPE(?v) = xsd:T
     AGG      := COUNT(*) | COUNT([DISTINCT] ?v) | SAMPLE(?v) |
                 GROUP_CONCAT(?v [; SEPARATOR="s"]) |
                 SUM|AVG|MIN|MAX(xsd:T(?v))   (the cast names the
@@ -66,7 +74,7 @@ Supported grammar (case-insensitive keywords)::
 Deliberate subset boundaries (each raises SparqlParseError naming
 the construct): subqueries inside UNION arms / OPTIONAL / MINUS
 (lift them out), BIND expressions outside the typed
-subset above (IF/COALESCE, float arithmetic — engine-specific float
+subset above (float arithmetic — engine-specific float
 formatting would silently diverge from the Go-parity constructors),
 OFFSET without ORDER BY, property paths that don't factor into
 steps (alternation of sequences ((a/b)|c), nested quantifiers
@@ -726,13 +734,140 @@ class _Parser:
         if self.at_word("REGEX"):
             g["filters"].append(self._parse_regex())
             return
+        spec = self._parse_builtin_constraint()
+        if spec is not None:
+            g["filters"].append(spec)
+            return
         self.expect_op("(")
         if self.at_word("REGEX"):
             g["filters"].append(self._parse_regex())
             self.expect_op(")")
             return
+        neg = self.take_op("!")
+        spec = self._parse_builtin_constraint(positive=not neg)
+        if spec is not None:
+            g["filters"].append(spec)
+            self.expect_op(")")
+            return
+        if neg:
+            raise self.error(
+                "'!' negates the term tests only (isIRI/isLiteral/"
+                "isBlank) — use the complementary operator otherwise"
+            )
         g["filters"].append(self._parse_comparison())
         self.expect_op(")")
+
+    _FN_STR_TESTS = {
+        "STRSTARTS": "strstarts",
+        "STRENDS": "strends",
+        "CONTAINS": "contains",
+    }
+    _FN_KIND_TESTS = {
+        "ISIRI": "isiri",
+        "ISURI": "isiri",
+        "ISLITERAL": "isliteral",
+        "ISBLANK": "isblank",
+    }
+
+    def _parse_builtin_constraint(self, positive: bool = True):
+        """One SPARQL builtin test call, or None if the lookahead is
+        not one: STRSTARTS/STRENDS/CONTAINS(?v, "s"), isIRI/isURI/
+        isLiteral/isBlank(?v), LANG(?v) = "tag",
+        LANGMATCHES(LANG(?v), "tag"|"*"), DATATYPE(?v) = xsd:T,
+        STRLEN(?v) op n. Returns the engine's filter-spec tuple
+        (compile_binding_filter's builtin forms)."""
+        k, v, _ = self.peek()
+        if k != "WORD" or self.peek(1)[1] != "(":
+            return None
+        u = v.upper()
+        if u in self._FN_STR_TESTS:
+            if not positive:
+                raise self.error(
+                    f"negated {v}() is not supported — only the term "
+                    "tests (isIRI/isLiteral/isBlank) negate"
+                )
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var(f"{v}()")
+            self.expect_op(",")
+            sk, sv, _ = self.next()
+            if sk != "STRING":
+                raise self.error(f"{v}() takes (?var, \"string\")")
+            value, lang, typ = _unquote(sv)
+            if lang or typ:
+                raise self.error(f"{v}() takes a plain string")
+            self.expect_op(")")
+            return (var, self._FN_STR_TESTS[u], value)
+        if u in self._FN_KIND_TESTS:
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var(f"{v}()")
+            self.expect_op(")")
+            return (var, self._FN_KIND_TESTS[u], positive)
+        if not positive and u in ("LANG", "LANGMATCHES", "DATATYPE",
+                                  "STRLEN"):
+            raise self.error(
+                f"negated {v}() is not supported — only the term "
+                "tests (isIRI/isLiteral/isBlank) negate"
+            )
+        if u == "LANG":
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var("LANG()")
+            self.expect_op(")")
+            if not self.take_op("="):
+                raise self.error('LANG(?v) supports = "tag" only')
+            sk, sv, _ = self.next()
+            if sk != "STRING":
+                raise self.error("LANG(?v) compares to a plain string")
+            return (var, "lang", _unquote(sv)[0])
+        if u == "LANGMATCHES":
+            self.next()
+            self.expect_op("(")
+            self.expect_word("LANG")
+            self.expect_op("(")
+            var = self._expect_var("LANGMATCHES(LANG())")
+            self.expect_op(")")
+            self.expect_op(",")
+            sk, sv, _ = self.next()
+            if sk != "STRING":
+                raise self.error(
+                    'LANGMATCHES takes (LANG(?v), "range")'
+                )
+            self.expect_op(")")
+            return (var, "langmatches", _unquote(sv)[0])
+        if u == "DATATYPE":
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var("DATATYPE()")
+            self.expect_op(")")
+            if not self.take_op("="):
+                raise self.error("DATATYPE(?v) supports = xsd:T only")
+            tk, tv, _ = self.next()
+            if tk == "IRI":
+                return (var, "datatype", self._expand(tv[1:-1]))
+            if tk == "WORD" and tv.upper() not in _KEYWORDS:
+                return (var, "datatype", self._expand(tv))
+            raise self.error("DATATYPE(?v) compares to a datatype IRI")
+        if u == "STRLEN":
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var("STRLEN()")
+            self.expect_op(")")
+            op = self._parse_comparator()
+            nk, nv, _ = self.next()
+            if nk != "NUM" or not nv.isdigit():
+                raise self.error(
+                    "STRLEN(?v) compares to a non-negative integer"
+                )
+            return (var, "strlen", int(nv), "=" if op == "==" else op)
+        return None
+
+    def _expect_var(self, what: str) -> str:
+        vk, vv, _ = self.next()
+        if vk != "VAR":
+            raise self.error(f"{what} takes a variable")
+        return "?" + vv[1:]
 
     def _parse_regex(self) -> tuple:
         self.expect_word("REGEX")
@@ -767,6 +902,28 @@ class _Parser:
 
     def _parse_bind_expr(self) -> tuple:
         k, v, _ = self.peek()
+        if k == "WORD" and v.upper() == "COALESCE" \
+                and self.peek(1)[1] == "(":
+            self.next()
+            self.expect_op("(")
+            subs = [self._parse_bind_expr()]
+            while self.take_op(","):
+                subs.append(self._parse_bind_expr())
+            self.expect_op(")")
+            return ("coalesce", subs)
+        if k == "WORD" and v.upper() == "IF" \
+                and self.peek(1)[1] == "(":
+            self.next()
+            self.expect_op("(")
+            cond = self._parse_builtin_constraint()
+            if cond is None:
+                cond = self._parse_comparison()
+            self.expect_op(",")
+            then_s = self._parse_bind_expr()
+            self.expect_op(",")
+            else_s = self._parse_bind_expr()
+            self.expect_op(")")
+            return ("if", cond, then_s, else_s)
         if k == "WORD" and v.upper() == "STR" \
                 and self.peek(1)[1] == "(":
             self.next()
