@@ -1664,12 +1664,48 @@ def test_seq_group_parse_refusals(cycle_graph):
         property_path(cycle_graph, ["(p*/q)+"], start="a")
     with pytest.raises(ValueError, match="nested quantifiers"):
         property_path(cycle_graph, ["(p+)*"], start="a")
-    with pytest.raises(ValueError, match="bad group syntax"):
+    with pytest.raises(ValueError, match="bad group"):
         property_path(cycle_graph, ["(p/q)*x"], start="a")
-    with pytest.raises(ValueError, match="bad group syntax"):
+    with pytest.raises(ValueError, match="bad group"):
         property_path(cycle_graph, ["(p/q*"], start="a")
     with pytest.raises(ValueError, match="unbalanced"):
         PathExpr("(p/q*")  # the string splitter checks balance
     # plain parens splice: (p/q) == p/q
     assert _path_rows(cycle_graph, ["(p/p)"], start="a") == \
         _path_rows(cycle_graph, ["p", "p"], start="a")
+
+
+def test_alt_with_sequence_closure_differential(spark):
+    """(r|(p/q))* — alternation whose branch is a sequence group:
+    the closure's edge set unions the plain hop with the composed
+    relation; Spark == DuckDB recursive CTE, rooted and reversed."""
+    from triplestore_spark.operators.bgp import property_path_sql
+
+    rows = [
+        ("n:a", False, "p", "res", "n:b", "", ""),
+        ("n:b", False, "q", "res", "n:c", "", ""),  # a -(p/q)-> c
+        ("n:a", False, "r", "res", "n:c", "", ""),
+        ("n:c", False, "r", "res", "n:d", "", ""),
+        ("n:d", False, "p", "res", "n:e", "", ""),
+        ("n:e", False, "q", "res", "n:a", "", ""),  # cycle via (p/q)
+    ]
+    g = spark.createDataFrame(rows, S.TRIPLE_SCHEMA)
+    con = _duck(rows)
+    cases = [
+        (["(r|(p/q))*"], dict(start="n:a")),
+        (["(r|(p/q))+"], dict(start="n:a")),
+        (["(r|(p/q)){1,2}"], dict(start="n:a")),
+        (["(r|(p/q))*"], dict(end="n:d")),  # reversed group-alt walk
+    ]
+    for path, kw in cases:
+        got = _spark_rows(property_path(g, path, **kw))
+        want = _duck_rows(con, property_path_sql(path, **kw))
+        assert got == want, (path, kw)
+    assert _spark_rows(
+        property_path(g, ["(r|(p/q))*"], start="n:a")
+    ) == [("<n:a>",), ("<n:c>",), ("<n:d>",)]
+    # unquantified sequence alternative refuses in BOTH engines
+    with pytest.raises(ValueError, match="needs a quantifier"):
+        property_path(g, ["r|(p/q)"], start="n:a")
+    with pytest.raises(ValueError, match="needs a quantifier"):
+        property_path_sql(["r|(p/q)"], start="n:a")

@@ -1032,3 +1032,22 @@ def test_bind_if_coalesce(g):
     assert r["<e:spark>"] in (
         '"localized"^^<xsd:string>', '"Spark"^^<xsd:string>'
     )
+
+
+def test_path_alt_of_sequences_closure(g):
+    """(p1|(p2/p3))* through the text layer — the alternation branch
+    that is a sequence compiles to the engine's group-alternative
+    syntax."""
+    # kg:sub|(kg:sub/kg:sub) closure from kg:Engine reaches the whole
+    # chain either way
+    got = sparql_query(
+        g, "SELECT ?c WHERE { kg:Engine (kg:sub|(kg:sub/kg:sub))* ?c }"
+    )
+    assert sorted(r["c"] for r in got.collect()) == [
+        "<kg:Engine>", "<kg:System>", "<kg:Thing>"
+    ]
+    with pytest.raises(ValueError, match="needs a quantifier"):
+        sparql_query(
+            g,
+            "SELECT ?c WHERE { kg:Engine (kg:sub|(kg:sub/kg:sub)) ?c }",
+        )

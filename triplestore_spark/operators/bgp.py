@@ -1101,19 +1101,60 @@ def bgp_match(
     return out.distinct() if distinct else out
 
 
+def _split_path_alt(expr: str) -> list[str]:
+    """Split an alternation on '|' at parenthesis depth 0, so a
+    sequence-group alternative '(p1/p2)' stays one entry."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for c in expr:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "|" and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(c)
+    out.append("".join(buf))
+    return out
+
+
 def _path_step_alternatives(step) -> list[str]:
     """Normalize one path step to its alternative list: 'p', '^p'
-    (inverse), 'p1|p2|^p3' (alternation), or an explicit list."""
+    (inverse), 'p1|p2|^p3' (alternation), or an explicit list. An
+    alternative may itself be a parenthesized SEQUENCE '(p1/p2)' —
+    valid only under a quantifier, where the closure's edge set
+    becomes the union of the plain hops and the composed sequence
+    relations (SPARQL (p0|(p1/p2))*)."""
     if isinstance(step, str):
-        alts = [a.strip() for a in step.split("|")]
+        alts = [a.strip() for a in _split_path_alt(step)]
     else:
         alts = [str(a).strip() for a in step]
     if not alts or any(not a or a == "^" for a in alts):
         raise ValueError(f"property_path: bad step {step!r}")
     for a in alts:
+        if a.startswith("(") != a.endswith(")"):
+            raise ValueError(
+                f"property_path: bad group alternative {a!r}"
+            )
         if _is_var(a.lstrip("^")):
             raise ValueError("property_path: predicates must be constants")
     return alts
+
+
+def _seq_alt_steps(a: str) -> list[tuple]:
+    """Parse one '(p1/p2)' group ALTERNATIVE into its fixed-length
+    inner steps (shared by the closure edge builders)."""
+    inner = [_parse_path_step(s) for s in _split_path_expr(a[1:-1])]
+    for in_alts, in_lo, in_hi in inner:
+        if isinstance(in_alts, _SeqGroup) or (in_lo, in_hi) != (1, 1):
+            raise ValueError(
+                "property_path: a sequence alternative closes over a "
+                f"fixed-length sequence only — {a!r}"
+            )
+    return inner
 
 
 # Trailing quantifier on a string step: p*, p+, p{n}, p{m,}, p{m,n}.
@@ -1214,12 +1255,6 @@ def _parse_path_step(step) -> tuple[list[str], int, int | None]:
                             "are refused"
                         )
             return _SeqGroup(inner_steps), lo, hi
-        if "(" in base or ")" in base:
-            raise ValueError(
-                f"property_path: bad group syntax {step!r} — a "
-                "parenthesized group must span the whole step, with "
-                "an optional trailing quantifier"
-            )
         if base.startswith("!"):
             preds = [a.strip() for a in base[1:].split("|")]
             if not preds or any(
@@ -1240,6 +1275,15 @@ def _invert_alt(a: str) -> str:
             "property_path: a negated property set cannot be walked "
             "backward — pin the start of the chain instead"
         )
+    if a.startswith("("):
+        # ^((a/b)) == (^b/^a): reverse the hops, invert each one's
+        # alternatives
+        inner = _split_path_expr(a[1:-1])
+        rev = "/".join(
+            "|".join(_invert_alt(x) for x in _split_path_alt(s))
+            for s in reversed(inner)
+        )
+        return "(" + rev + ")"
     return a[1:] if a.startswith("^") else "^" + a
 
 
@@ -1292,16 +1336,29 @@ def _closure_edges(
             F.col("__cs").alias("_cs"), F.col("__cd").alias("_cd")
         )
     frames = []
+    seq_frames = []
     for a in alts:
+        if a.startswith("("):
+            # a sequence-group alternative '(p1/p2)': its composed
+            # relation unions into the edge set alongside plain hops
+            seq_frames.append(_seq_edges(graph, _seq_alt_steps(a)))
+            continue
         if a.startswith("^"):
             pat: Pattern = ("?__cd", a[1:], "?__cs")
         else:
             pat = ("?__cs", a, "?__cd")
         frames.append(bgp_match(graph, [pat], distinct=False))
-    edges = frames[0]
-    for f in frames[1:]:
-        edges = edges.unionByName(f)
-    return edges.select(F.col("__cs").alias("_cs"), F.col("__cd").alias("_cd"))
+    edges = None
+    if frames:
+        edges = frames[0]
+        for f in frames[1:]:
+            edges = edges.unionByName(f)
+        edges = edges.select(
+            F.col("__cs").alias("_cs"), F.col("__cd").alias("_cd")
+        )
+    for sf in seq_frames:
+        edges = sf if edges is None else edges.unionByName(sf)
+    return edges
 
 
 def _seq_edges(graph, inner_steps: Sequence[tuple]) -> DataFrame:
@@ -1514,6 +1571,13 @@ def property_path(
                 graph, [a[1:] for a in alts], src_t, dst_t
             )
         else:
+            if any(a.startswith("(") for a in alts):
+                raise ValueError(
+                    "property_path: a sequence alternative "
+                    "('p0|(p1/p2)') needs a quantifier on the step — "
+                    "unquantified, write the plain sequence or a "
+                    "UNION of path patterns"
+                )
             frames = []
             for a in alts:
                 if a.startswith("^"):
@@ -2006,6 +2070,23 @@ def property_path_sql(
             )
         parts = []
         for a in alts:
+            if a.startswith("("):
+                # sequence alternative: its composed relation unions
+                # in alongside the plain hops (twin of _closure_edges)
+                subs = [
+                    edge_sql(in_alts)
+                    for in_alts, _, _ in _seq_alt_steps(a)
+                ]
+                frm = f"({subs[0]}) h0"
+                for k in range(1, len(subs)):
+                    frm += (
+                        f" JOIN ({subs[k]}) h{k} ON h{k-1}.ed = h{k}.es"
+                    )
+                parts.append(
+                    f"SELECT DISTINCT h0.es AS es, "
+                    f"h{len(subs) - 1}.ed AS ed FROM {frm}"
+                )
+                continue
             if a.startswith("^"):
                 es, ed, pred = okey, skey, a[1:]
             else:
@@ -2024,6 +2105,13 @@ def property_path_sql(
         e = f"e{i}"
         ctes.append(f"{e} AS ({edge_sql(alts)})")
         if (lo, hi) == (1, 1):
+            if any(isinstance(a, str) and a.startswith("(")
+                   for a in alts):
+                # mirror the engine's refusal for twin parity
+                raise ValueError(
+                    "property_path_sql: a sequence alternative needs "
+                    "a quantifier on the step"
+                )
             if prev is None:
                 if start is None:
                     sel = f"SELECT DISTINCT es AS src, ed AS cur FROM {e}"

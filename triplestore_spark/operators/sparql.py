@@ -1388,11 +1388,19 @@ def _compile_path(node, err) -> list[str]:
         for b in node[1]:
             ss = _compile_path(b, err)
             if len(ss) != 1:
-                raise err(
-                    "alternation of multi-step path sequences is not "
-                    "supported (factor the query as a UNION of path "
-                    "patterns)"
-                )
+                # a multi-step branch becomes a sequence-group
+                # alternative '(a/b)' — valid under a quantifier,
+                # where the closure's edge set unions the composed
+                # relation with the plain hops; the engine refuses
+                # the unquantified form by name
+                for s in ss:
+                    if _STEP_QUANT_RE.search(s) or s.startswith("("):
+                        raise err(
+                            "nested quantifiers/groups inside an "
+                            "alternation branch are not supported"
+                        )
+                parts.append("(" + "/".join(ss) + ")")
+                continue
             if _STEP_QUANT_RE.search(ss[0]):
                 raise err(
                     "alternation branches with their own quantifiers "
