@@ -159,6 +159,74 @@ def main():
         )
     )
 
+    # round-6: SPARQL subquery — the inner aggregation reduces to one
+    # row per entity, so the outer equi-join broadcasts the subquery
+    # side (AQE) instead of shuffling the binding rows
+    sections.append(
+        (
+            "SPARQL subquery join (joins=: aggregated solution set "
+            "enters the join planner as a scan — small side "
+            "broadcasts under AQE, bindings never reshuffle for it)",
+            fmt(
+                bgp_match(
+                    g,
+                    [("?d", "kg:mentions", "?e")],
+                    joins=[
+                        bgp_select(
+                            g,
+                            [("?d2", "kg:mentions", "?e")],
+                            group_by=["?e"],
+                            aggregates={"n": ("count", "*")},
+                        ).select("e", "n")
+                    ],
+                )
+            ),
+        )
+    )
+
+    # round-6: aggregation over UNION — the arms concatenate without
+    # an exchange; ONE partial+final aggregation sits on top
+    from triplestore_spark.operators.bgp_agg import bgp_union
+
+    sections.append(
+        (
+            "Aggregation over UNION (bag union is a partition concat "
+            "— no exchange; one partial+final HashAggregate on top, "
+            "same cost as aggregating a single arm)",
+            fmt(
+                bgp_union(
+                    g,
+                    [
+                        [("?d", "kg:mentions", "?x")],
+                        [("?d", "kg:hasMedia", "?x")],
+                    ],
+                    group_by=["?d"],
+                    aggregates={"n": ("count", "?x")},
+                )
+            ),
+        )
+    )
+
+    # round-6: closure over a sequence group — the composed (p/q)
+    # edge relation is built ONCE (one join) and cached; each closure
+    # level joins the precomposed relation
+    from triplestore_spark.operators.bgp import property_path
+
+    sections.append(
+        (
+            "Sequence-group closure ((p/q)*: inner hops compose into "
+            "one cached edge relation; the cycle-safe frontier walk "
+            "joins it once per LEVEL, not per hop)",
+            fmt(
+                property_path(
+                    g,
+                    ["(kg:mentions/kg:source)*"],
+                    start="doc:42",
+                )
+            ),
+        )
+    )
+
     # round-6: SHACL validation — constraints are filtered scans /
     # one focus aggregation / one anti-join; predicate constants reach
     # the layout scans as pushed filters
