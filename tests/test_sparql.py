@@ -1051,3 +1051,43 @@ def test_path_alt_of_sequences_closure(g):
             g,
             "SELECT ?c WHERE { kg:Engine (kg:sub|(kg:sub/kg:sub)) ?c }",
         )
+
+
+def test_select_expressions(g):
+    """(expr AS ?x) in the projection — a trailing BIND."""
+    got = g.sparql(
+        "SELECT ?d (xsd:integer(?w) * 2 AS ?w2) WHERE { ?d kg:words ?w }"
+    )
+    assert got.columns == ["d", "w2"]
+    assert rows(got) == [
+        ("<doc:1>", '"240"^^<xsd:integer>'),
+        ("<doc:2>", '"160"^^<xsd:integer>'),
+        ("<doc:3>", '"440"^^<xsd:integer>'),
+    ]
+    # differential vs explicit BIND
+    want = g.sparql(
+        "SELECT ?d ?w2 WHERE { ?d kg:words ?w . "
+        "BIND(xsd:integer(?w) * 2 AS ?w2) }"
+    )
+    assert rows(got) == rows(want)
+    # inside a subquery, with the outer join on the bound column
+    sub = g.sparql(
+        "SELECT ?d ?w2 WHERE { "
+        "{ SELECT ?d (xsd:integer(?w) + 1 AS ?w2) WHERE "
+        "{ ?d kg:words ?w } } }"
+    )
+    assert ("<doc:2>", '"81"^^<xsd:integer>') in rows(sub)
+
+
+def test_select_expressions_refusals(g):
+    cases = [
+        ("SELECT ?e (STR(?e) AS ?x) (COUNT(?d) AS ?n) WHERE "
+         "{ ?d kg:mentions ?e } GROUP BY ?e", "aggregation"),
+        ("SELECT (STR(?d) AS ?x) WHERE { { ?d kg:words ?w } UNION "
+         "{ ?d kg:mentions ?e } }", "UNION"),
+        ("SELECT (STR(?w) AS ?w) WHERE { ?d kg:words ?w }",
+         "already bound"),
+    ]
+    for text, needle in cases:
+        with pytest.raises((SparqlParseError, ValueError), match=needle):
+            sparql_query(g, text).collect()

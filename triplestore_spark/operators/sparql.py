@@ -17,7 +17,10 @@ refused with a clear error instead of silently approximated.
 Supported grammar (case-insensitive keywords)::
 
     PREFIX pfx: <iri>                      -- any number
-    SELECT [DISTINCT] (* | ?v ... | (AGG AS ?alias) ...)
+    SELECT [DISTINCT] (* | ?v ... | (AGG AS ?alias) ...
+                       | (bindexpr AS ?alias) ...  -- a trailing BIND;
+                         plain groups only (aggregate outputs are
+                         typed values, not node keys))
         WHERE { group } [GROUP BY ?v ...] [HAVING (cond) ...]
         [ORDER BY cond ...] [LIMIT n] [OFFSET m]
         (LIMIT/OFFSET in either order; OFFSET requires ORDER BY —
@@ -401,6 +404,7 @@ class _Parser:
         star = False
         proj: list[str] = []
         aggregates: dict[str, tuple] = {}
+        select_binds: dict[str, tuple] = {}
         if self.take_op("*"):
             star = True
         else:
@@ -411,14 +415,22 @@ class _Parser:
                     proj.append(v[1:])
                 elif k == "OP" and v == "(":
                     self.next()
-                    spec = self._parse_aggregate()
+                    fk, fv, _ = self.peek()
+                    if fk == "WORD" and fv.upper() in _AGG_FUNCS:
+                        spec = self._parse_aggregate()
+                        target = aggregates
+                    else:
+                        # SELECT expression: (expr AS ?x) over each
+                        # solution — compiles to a trailing BIND
+                        spec = self._parse_bind_expr()
+                        target = select_binds
                     self.expect_word("AS")
                     ak, av, _ = self.next()
                     if ak != "VAR":
                         raise self.error("expected ?alias after AS")
                     self.expect_op(")")
                     alias = av[1:]
-                    aggregates[alias] = spec
+                    target[alias] = spec
                     proj.append(alias)
                 else:
                     break
@@ -475,6 +487,7 @@ class _Parser:
             "star": star,
             "projection": None if star else proj,
             "aggregates": aggregates,
+            "select_binds": select_binds,
             "group_by": group_by,
             "having": having,
             "order_by": order_by,
@@ -1735,6 +1748,27 @@ def _select_df(graph, q: dict):
     arms = where.get("union")
     aggregates = q["aggregates"]
     group_by = q["group_by"]
+    sel_binds = q.get("select_binds") or {}
+    if sel_binds:
+        # (expr AS ?x) evaluates over each solution — exactly a
+        # trailing BIND; the engine enforces name freshness and
+        # sequential scope (SELECT expressions may read group binds)
+        if arms:
+            raise SparqlParseError(
+                "sparql: SELECT expressions over UNION are not "
+                "supported — BIND inside each arm instead"
+            )
+        if aggregates or group_by:
+            raise SparqlParseError(
+                "sparql: SELECT expressions do not compose with "
+                "aggregation (aggregate outputs are typed values, "
+                "not node keys) — BIND before the aggregation or "
+                "compute over the result"
+            )
+        merged = dict(where.get("bind") or {})
+        for a, s in sel_binds.items():
+            merged["?" + a] = s
+        where = dict(where, bind=merged)
     if arms:
         union_arms = [
             {"patterns": g["patterns"], **_match_kwargs(g)} for g in arms
