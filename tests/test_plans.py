@@ -287,3 +287,62 @@ def test_ts_pack_gate_window_is_sharded(spark, sf_dir):
     specs = plan.count("windowspecdefinition(")
     assert specs >= 1
     assert specs == plan.count("windowspecdefinition(shard")
+
+
+def test_union_aggregation_single_exchange(mat_graph):
+    """Aggregation over UNION: the arms concatenate WITHOUT an
+    exchange; exactly one Exchange sits between the partial and final
+    HashAggregate — same cost as aggregating one arm."""
+    from triplestore_spark.operators.bgp_agg import bgp_union
+
+    df = bgp_union(
+        mat_graph,
+        [
+            [("?d", "kg:mentions", "?x")],
+            [("?d", "kg:hasMedia", "?x")],
+        ],
+        group_by=["?d"],
+        aggregates={"n": ("count", "?x")},
+    )
+    plan = plan_str(df)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "Union" in plan
+    # both arms' predicate constants reach their scans
+    opt = optimized_str(df)
+    assert opt.count("kg:mentions") >= 1 and opt.count("kg:hasMedia") >= 1
+
+
+def test_subquery_join_broadcasts_small_side(spark, sf_dir, mat_graph):
+    """joins=: an aggregated subquery solution set (one row per
+    entity) must broadcast into the outer join — the binding rows
+    never reshuffle for it."""
+    from triplestore_spark.operators.bgp import bgp_match
+    from triplestore_spark.operators.bgp_agg import bgp_select
+
+    sub = bgp_select(
+        mat_graph,
+        [("?d2", "kg:mentions", "?e")],
+        group_by=["?e"],
+        aggregates={"n": ("count", "*")},
+    ).select("e", "n")
+    df = bgp_match(
+        mat_graph, [("?d", "kg:mentions", "?e")], joins=[sub]
+    )
+    df.count()  # let AQE finalize the join strategy
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_seq_closure_edge_relation_composed_once(mat_graph):
+    """(p/q)* builds its composed edge relation once; each level of
+    the walk joins the cached relation (visible as one extra join in
+    the edge lineage, not a per-level re-derivation)."""
+    from triplestore_spark.operators.bgp import _seq_edges, _parse_path_step
+
+    alts, lo, hi = _parse_path_step("(kg:mentions/kg:source)*")
+    edges = _seq_edges(mat_graph, alts.steps)
+    opt = optimized_str(edges)
+    # the composition is a single two-scan join, aggregated distinct
+    assert opt.count("Join") == 1, opt
+    assert "kg:mentions" in opt and "kg:source" in opt
