@@ -1091,3 +1091,22 @@ def test_select_expressions_refusals(g):
     for text, needle in cases:
         with pytest.raises((SparqlParseError, ValueError), match=needle):
             sparql_query(g, text).collect()
+
+
+def test_describe_var_where(g):
+    """DESCRIBE ?v WHERE { group }: every triple touching any node
+    the variable binds — one semi-join per role, no driver collect;
+    equals the union of single-node describes."""
+    got = g.sparql(
+        "DESCRIBE ?e WHERE { ?d kg:mentions ?e . ?d kg:source src:web }"
+    )
+    want = g.describe("e:spark").distinct()   # the only web-mention
+    assert rows(got) == rows(want)
+    # multi-node binding: union over both engines' describes
+    got2 = g.sparql("DESCRIBE ?e WHERE { ?e rdf:type kg:Engine }")
+    want2 = g.describe("e:spark").unionByName(
+        g.describe("e:duck")
+    ).distinct()
+    assert rows(got2) == rows(want2)
+    with pytest.raises(SparqlParseError, match="not bound"):
+        sparql_query(g, "DESCRIBE ?x WHERE { ?e rdf:type kg:Engine }")

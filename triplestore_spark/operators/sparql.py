@@ -27,7 +27,9 @@ Supported grammar (case-insensitive keywords)::
         skipping engine-chosen row order is a silent wrong answer)
     ASK { group }
     CONSTRUCT { triples } WHERE { group }
-    DESCRIBE <node>
+    DESCRIBE <node> | DESCRIBE ?v WHERE { group }
+        (the variable form describes every bound node via one
+        semi-join per role — never a driver-side node collect)
 
     group    := triples and any of:
                   OPTIONAL { triples [FILTER (...)] ... }
@@ -256,10 +258,27 @@ class _Parser:
         elif self.take_word("CONSTRUCT"):
             out = self._parse_construct()
         elif self.take_word("DESCRIBE"):
-            node = self._parse_term("subject")
-            if not isinstance(node, str) or node.startswith("?"):
-                raise self.error("DESCRIBE takes a constant IRI")
-            out = {"form": "describe", "node": node}
+            k, v, _ = self.peek()
+            if k == "VAR":
+                # DESCRIBE ?v WHERE { group }: describe every node
+                # the variable binds to (a semi-join, never a
+                # driver-side collect of the node set)
+                self.next()
+                var = "?" + v[1:]
+                self.take_word("WHERE")
+                where = self._parse_group()
+                out = {
+                    "form": "describe_var",
+                    "var": var,
+                    "where": where,
+                }
+            else:
+                node = self._parse_term("subject")
+                if not isinstance(node, str) or node.startswith("?"):
+                    raise self.error(
+                        "DESCRIBE takes a constant IRI or ?var WHERE"
+                    )
+                out = {"form": "describe", "node": node}
         else:
             raise self.error("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
         if self.peek()[0] != "EOF":
@@ -1712,6 +1731,43 @@ def sparql_query(graph, text: str):
     if form == "describe":
         g = graph if isinstance(graph, RDFGraph) else RDFGraph(graph)
         return g.describe(q["node"])
+    if form == "describe_var":
+        from pyspark.sql import functions as F
+
+        from triplestore_spark import schema as S
+
+        g = graph if isinstance(graph, RDFGraph) else RDFGraph(graph)
+        kw = _match_kwargs(q["where"], graph)
+        m = bgp_match(g, q["where"]["patterns"], distinct=False, **kw)
+        var = q["var"][1:]
+        if var not in m.columns:
+            raise SparqlParseError(
+                f"sparql: DESCRIBE variable ?{var} is not bound by "
+                "the WHERE group"
+            )
+        # distinct node NAMES (IRIs/bnodes only — literals are not
+        # describable); one semi-join per role, no driver collect
+        nodes = (
+            m.select(F.col(var).alias("__k"))
+            .where(~F.col("__k").startswith('"'))
+            .select(
+                F.when(
+                    F.col("__k").startswith("_:"),
+                    F.expr("substring(__k, 3)"),
+                ).otherwise(
+                    F.expr("substring(__k, 2, length(__k) - 2)")
+                ).alias("__n")
+            )
+            .distinct()
+        )
+        df = g.df
+        as_subj = df.join(
+            nodes, df["subject"] == nodes["__n"], "left_semi"
+        )
+        as_obj = df.where(
+            F.col("object_kind").isin(S.KIND_RESOURCE, S.KIND_BNODE)
+        ).join(nodes, df["object_value"] == nodes["__n"], "left_semi")
+        return as_subj.unionByName(as_obj).distinct()
 
     where = q["where"]
     arms = where.get("union")
