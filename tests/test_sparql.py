@@ -1110,3 +1110,21 @@ def test_describe_var_where(g):
     assert rows(got2) == rows(want2)
     with pytest.raises(SparqlParseError, match="not bound"):
         sparql_query(g, "DESCRIBE ?x WHERE { ?e rdf:type kg:Engine }")
+
+
+def test_construct_with_bind(g):
+    """CONSTRUCT templates instantiate over BIND-computed variables
+    like any matched one (bound keys are canonical)."""
+    out = sparql_query(
+        g,
+        'CONSTRUCT { ?d kg:sizeClass ?size } WHERE { ?d kg:words ?w . '
+        'BIND(IF(xsd:integer(?w) > 100, "big", "small") AS ?size) }',
+    )
+    got = sorted(
+        tuple(r)[:7] for r in out.select(*S.TRIPLE_FIELDS).collect()
+    )
+    assert got == [
+        ("doc:1", False, "kg:sizeClass", "lit", "big", "xsd:string", ""),
+        ("doc:2", False, "kg:sizeClass", "lit", "small", "xsd:string", ""),
+        ("doc:3", False, "kg:sizeClass", "lit", "big", "xsd:string", ""),
+    ]
