@@ -1128,3 +1128,58 @@ def test_construct_with_bind(g):
         ("doc:2", False, "kg:sizeClass", "lit", "small", "xsd:string", ""),
         ("doc:3", False, "kg:sizeClass", "lit", "big", "xsd:string", ""),
     ]
+
+
+def test_bound_filters(g):
+    """BOUND/!BOUND apply AFTER the optional joins — the classic
+    negative-optional idiom, and its positive twin partitions the
+    solution set."""
+    neg = g.sparql(
+        "SELECT ?d WHERE { ?d kg:words ?w . "
+        "OPTIONAL { ?d kg:source ?s } FILTER(!BOUND(?s)) }"
+    )
+    assert sorted(r["d"] for r in neg.collect()) == ["<doc:3>"]
+    pos = g.sparql(
+        "SELECT ?d WHERE { ?d kg:words ?w . "
+        "OPTIONAL { ?d kg:source ?s } FILTER BOUND(?s) }"
+    )
+    assert sorted(r["d"] for r in pos.collect()) == [
+        "<doc:1>", "<doc:2>"
+    ]
+    # !BOUND == MINUS on the same shape
+    minus = g.sparql(
+        "SELECT ?d WHERE { ?d kg:words ?w "
+        "MINUS { ?d kg:source ?s } }"
+    )
+    assert rows(neg) == rows(minus)
+    with pytest.raises(ValueError, match="not in scope"):
+        sparql_query(
+            g, "SELECT ?d WHERE { ?d kg:words ?w FILTER BOUND(?zz) }"
+        ).collect()
+
+
+def test_bind_string_functions(g):
+    got = g.sparql(
+        'SELECT ?e (UCASE(?n) AS ?u) (SUBSTR(?n, 1, 3) AS ?s3) '
+        '(REPLACE(?n, "a", "@") AS ?r) (STRLEN(?n) AS ?len) '
+        "WHERE { ?e kg:name ?n FILTER(DATATYPE(?n) = xsd:string) }"
+    )
+    assert rows(got) == [
+        ("<e:duck>", '"DUCK"^^<>', '"Duc"^^<>', '"Duck"^^<>',
+         '"4"^^<xsd:integer>'),
+        ("<e:spark>", '"SPARK"^^<>', '"Spa"^^<>', '"Sp@rk"^^<>',
+         '"5"^^<xsd:integer>'),
+    ]
+    # SUBSTR without length runs to the end; LCASE; STRLEN composes
+    # with integer arithmetic downstream
+    got2 = g.sparql(
+        "SELECT ?e ?l2 WHERE { ?e kg:name ?n "
+        'FILTER(DATATYPE(?n) = xsd:string) '
+        "BIND(LCASE(?n) AS ?lo) BIND(SUBSTR(?lo, 2) AS ?tail) "
+        "BIND(STRLEN(?tail) AS ?tl) "
+        "BIND(xsd:integer(?tl) + 1 AS ?l2) }"
+    )
+    assert rows(got2) == [
+        ("<e:duck>", '"4"^^<xsd:integer>'),
+        ("<e:spark>", '"5"^^<xsd:integer>'),
+    ]

@@ -480,7 +480,8 @@ _BIND_ARITH = {
 def _bind_refs(spec) -> list[str]:
     """Variable names a bind spec reads (bare, no '?')."""
     form = spec[0]
-    if form in ("var", "str"):
+    if form in ("var", "str", "ucase", "lcase", "substr", "replace",
+                "strlen"):
         return [_var(spec[1])]
     if form == "const":
         return []
@@ -528,6 +529,11 @@ def compile_bind_expr(spec) -> Column:
                                  typ is 'xsd:integer' (the one type
                                  whose lexical re-encode is exact) —
                                  result re-encoded as a typed literal
+      ('ucase'|'lcase', '?x')    case-mapped decoded value as a
+                                 simple literal
+      ('substr', '?x', s[, l])   1-based substring (SPARQL/XPath)
+      ('replace', '?x', re, rep) regex replace over the decoded value
+      ('strlen', '?x')           length as an xsd:integer literal
       ('coalesce', [specs])      SPARQL COALESCE: first non-NULL of
                                  the sub-specs, in order — exact,
                                  because it SELECTS among existing
@@ -590,6 +596,38 @@ def compile_bind_expr(spec) -> Column:
             F.lit('"'),
             res.cast("long").cast("string"),
             F.lit('"^^<' + typ + ">"),
+        )
+    if form in ("ucase", "lcase"):
+        _, _, val, _, _ = parse_node_key(F.col(_var(spec[1])))
+        fn = F.upper if form == "ucase" else F.lower
+        return F.concat(F.lit('"'), fn(val), F.lit('"^^<>'))
+    if form == "substr":
+        _, _, val, _, _ = parse_node_key(F.col(_var(spec[1])))
+        start = int(spec[2])
+        if start < 1:
+            raise ValueError(
+                "bgp bind: SUBSTR start is 1-based (SPARQL/XPath)"
+            )
+        length = (
+            int(spec[3])
+            if len(spec) > 3 and spec[3] is not None
+            else 2**31 - 1
+        )
+        sub = F.substring(val, start, length)
+        return F.concat(F.lit('"'), sub, F.lit('"^^<>'))
+    if form == "replace":
+        _, _, val, _, _ = parse_node_key(F.col(_var(spec[1])))
+        return F.concat(
+            F.lit('"'),
+            F.regexp_replace(val, spec[2], spec[3]),
+            F.lit('"^^<>'),
+        )
+    if form == "strlen":
+        _, _, val, _, _ = parse_node_key(F.col(_var(spec[1])))
+        return F.concat(
+            F.lit('"'),
+            F.length(val).cast("string"),
+            F.lit('"^^<xsd:integer>'),
         )
     if form == "coalesce":
         subs = [compile_bind_expr(s) for s in spec[1]]
@@ -674,6 +712,7 @@ def bgp_match(
     bind: Mapping[str, tuple] | None = None,
     values: tuple | dict | None = None,
     joins: Sequence[DataFrame] | None = None,
+    bound_filters: Sequence[tuple] | None = None,
     allow_product: bool = False,
     distinct: bool = True,
 ) -> DataFrame:
@@ -762,6 +801,13 @@ def bgp_match(
     ARM before the left join (it decides whether the group binds,
     never whether a required row survives), and its variables must be
     bound by the group's own patterns.
+
+    `bound_filters` is SPARQL's BOUND(?v) / !BOUND(?v): each spec is
+    ('?v', True|False) and applies AFTER the optional joins and
+    binds (BOUND is only meaningful once a variable may be null —
+    ('?m', False) with an optional group is the classic left-anti
+    idiom). The variable must be in scope (required, optional, join,
+    or bind).
 
     `joins` injects pre-computed SOLUTION SETS (SPARQL subqueries):
     each DataFrame's columns are variable names, and it enters the
@@ -1096,6 +1142,17 @@ def bgp_match(
                 )
             cur = cur.withColumn(bv, compile_bind_expr(bspec))
             var_order.append(bv)
+
+    for spec in bound_filters or ():
+        bvar, want = spec
+        v = _var(bvar) if _is_var(bvar) else bvar
+        if v not in var_order:
+            raise ValueError(
+                f"bgp bound filter: ?{v} is not in scope"
+            )
+        cur = cur.where(
+            F.col(v).isNotNull() if want else F.col(v).isNull()
+        )
 
     out = cur.select(*var_order)
     return out.distinct() if distinct else out

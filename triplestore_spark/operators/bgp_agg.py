@@ -459,6 +459,11 @@ def bgp_union_sql(
             "bgp_union_sql: arm binds have no SQL twin — compare "
             "compile_bind_expr output on the DataFrame side"
         )
+    if any(g.get("bound_filters") for g in norm):
+        raise ValueError(
+            "bgp_union_sql: arm BOUND filters have no SQL twin — "
+            "apply the null test post-hoc and compare that"
+        )
     if any(isinstance(og, dict) for g in norm
            for og in g.get("optional") or []):
         raise ValueError(

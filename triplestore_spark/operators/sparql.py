@@ -677,6 +677,7 @@ class _Parser:
             "anti": [],
             "exists": [],
             "filters": [],
+            "bound": [],
             "bind": {},
             "values": None,
             "subqueries": [],
@@ -686,7 +687,7 @@ class _Parser:
                 sub = self._parse_group()
                 if "union" in sub or sub["optional"] or sub["anti"] \
                         or sub["exists"] or sub["bind"] \
-                        or sub["subqueries"] \
+                        or sub["subqueries"] or sub["bound"] \
                         or sub["values"] is not None:
                     raise self.error(
                         "OPTIONAL groups support triple patterns "
@@ -749,6 +750,7 @@ class _Parser:
         sub = self._parse_group()
         if "union" in sub or sub["optional"] or sub["anti"] \
                 or sub["exists"] or sub["bind"] or sub["subqueries"] \
+                or sub["bound"] \
                 or sub["filters"] or sub["values"] is not None:
             raise self.error(
                 f"{what} groups support plain triple patterns only"
@@ -766,6 +768,9 @@ class _Parser:
         if self.at_word("REGEX"):
             g["filters"].append(self._parse_regex())
             return
+        if self.at_word("BOUND"):
+            g["bound"].append(self._parse_bound(True))
+            return
         spec = self._parse_builtin_constraint()
         if spec is not None:
             g["filters"].append(spec)
@@ -776,6 +781,10 @@ class _Parser:
             self.expect_op(")")
             return
         neg = self.take_op("!")
+        if self.at_word("BOUND"):
+            g["bound"].append(self._parse_bound(not neg))
+            self.expect_op(")")
+            return
         spec = self._parse_builtin_constraint(positive=not neg)
         if spec is not None:
             g["filters"].append(spec)
@@ -901,6 +910,13 @@ class _Parser:
             raise self.error(f"{what} takes a variable")
         return "?" + vv[1:]
 
+    def _parse_bound(self, positive: bool) -> tuple:
+        self.expect_word("BOUND")
+        self.expect_op("(")
+        var = self._expect_var("BOUND()")
+        self.expect_op(")")
+        return (var, positive)
+
     def _parse_regex(self) -> tuple:
         self.expect_word("REGEX")
         self.expect_op("(")
@@ -965,6 +981,50 @@ class _Parser:
                 raise self.error("STR() takes a variable")
             self.expect_op(")")
             return ("str", "?" + vv[1:])
+        if k == "WORD" and v.upper() in ("UCASE", "LCASE", "STRLEN") \
+                and self.peek(1)[1] == "(":
+            fn = v.upper()
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var(f"{fn}()")
+            self.expect_op(")")
+            return (fn.lower(), var)
+        if k == "WORD" and v.upper() == "SUBSTR" \
+                and self.peek(1)[1] == "(":
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var("SUBSTR()")
+            self.expect_op(",")
+            sk, sv, _ = self.next()
+            if sk != "NUM" or not sv.isdigit():
+                raise self.error("SUBSTR start must be an integer")
+            length = None
+            if self.take_op(","):
+                lk, lv, _ = self.next()
+                if lk != "NUM" or not lv.isdigit():
+                    raise self.error("SUBSTR length must be an integer")
+                length = int(lv)
+            self.expect_op(")")
+            return ("substr", var, int(sv), length)
+        if k == "WORD" and v.upper() == "REPLACE" \
+                and self.peek(1)[1] == "(":
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var("REPLACE()")
+            args = []
+            for _i in range(2):
+                self.expect_op(",")
+                sk, sv, _ = self.next()
+                if sk != "STRING":
+                    raise self.error(
+                        'REPLACE takes (?v, "regex", "replacement")'
+                    )
+                value, lang, typ = _unquote(sv)
+                if lang or typ:
+                    raise self.error("REPLACE takes plain strings")
+                args.append(value)
+            self.expect_op(")")
+            return ("replace", var, args[0], args[1])
         if k == "WORD" and v.upper() == "CONCAT" \
                 and self.peek(1)[1] == "(":
             self.next()
@@ -1574,6 +1634,8 @@ def _match_kwargs(g: dict, graph=None) -> dict:
         kw["bind"] = g["bind"]
     if g["filters"]:
         kw["filters"] = g["filters"]
+    if g.get("bound"):
+        kw["bound_filters"] = g["bound"]
     if g["values"] is not None:
         kw["values"] = g["values"]
     if g.get("subqueries"):
