@@ -46,6 +46,8 @@ Supported grammar (case-insensitive keywords)::
                                    those inside via HAVING)
                 or  { group } UNION { group } [UNION ...]
     bindexpr := constant | ?v | STR(?v) | CONCAT(args...) |
+                UCASE/LCASE(?v) | SUBSTR(?v, s[, l]) |
+                REPLACE(?v, "re", "rep") | STRLEN(?v) |
                 COALESCE(bindexpr, ...) | IF(constraint, e1, e2) |
                 numop (+|-|*) numop  with numop := xsd:integer(?v)
                 | integer (typed integer arithmetic only — the one
@@ -67,6 +69,8 @@ Supported grammar (case-insensitive keywords)::
                 Builtin tests (bare or inside the parens):
                 STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v) op n,
                 isIRI/isURI/isLiteral/isBlank(?v) (negatable with !),
+                BOUND(?v) (negatable — applies AFTER the optional
+                joins, the negative-optional idiom),
                 LANG(?v) = "tag", LANGMATCHES(LANG(?v), "range"|"*"),
                 DATATYPE(?v) = xsd:T
     AGG      := COUNT(*) | COUNT([DISTINCT] ?v) | SAMPLE(?v) |
