@@ -1183,3 +1183,33 @@ def test_bind_string_functions(g):
         ("<e:duck>", '"4"^^<xsd:integer>'),
         ("<e:spark>", '"5"^^<xsd:integer>'),
     ]
+
+
+def test_filter_in_not_in(g):
+    """IN / NOT IN: sameTerm membership over canonical node keys —
+    partitioning the solution set, typed literals matching on exact
+    tag identity."""
+    a = g.sparql(
+        "SELECT ?d ?e WHERE { ?d kg:mentions ?e "
+        "FILTER(?e IN (<e:duck>)) }"
+    )
+    b = g.sparql(
+        "SELECT ?d ?e WHERE { ?d kg:mentions ?e "
+        "FILTER(?e NOT IN (<e:duck>)) }"
+    )
+    both = g.sparql("SELECT ?d ?e WHERE { ?d kg:mentions ?e }")
+    assert sorted(rows(a) + rows(b)) == rows(both)
+    assert all(r[1] == "<e:duck>" for r in rows(a)) and rows(a)
+    typed = g.sparql(
+        'SELECT ?d WHERE { ?d kg:words ?w '
+        'FILTER(?w IN ("120"^^xsd:integer, "220"^^xsd:integer)) }'
+    )
+    assert sorted(r["d"] for r in typed.collect()) == [
+        "<doc:1>", "<doc:3>"
+    ]
+    # VALUES and IN agree on a single variable
+    vals = g.sparql(
+        "SELECT ?d ?e WHERE { ?d kg:mentions ?e "
+        "VALUES ?e { <e:duck> } }"
+    )
+    assert rows(a) == rows(vals)

@@ -420,6 +420,16 @@ def compile_binding_filter(
     key = F.col(var_col) if isinstance(var_col, str) else var_col
     is_b, kind, val, vtyp, lang = parse_node_key(key)
     rhs_var = isinstance(value, str) and value.startswith("?")
+    if op in ("in", "not_in"):
+        # SPARQL IN / NOT IN: sameTerm membership over canonical node
+        # keys (an IRI never equals a literal with the same lexical
+        # form) — one isin, pushdown-eligible like any constant filter
+        if not isinstance(value, (list, tuple)) or not value:
+            raise ValueError(
+                f"bgp filter: {op} takes a non-empty list of node keys"
+            )
+        cond = key.isin(list(value))
+        return cond if op == "in" else ~cond
     fns = _fn_filters()
     if op in fns or op == "strlen":
         if rhs_var:

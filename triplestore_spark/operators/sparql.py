@@ -71,6 +71,8 @@ Supported grammar (case-insensitive keywords)::
                 isIRI/isURI/isLiteral/isBlank(?v) (negatable with !),
                 BOUND(?v) (negatable — applies AFTER the optional
                 joins, the negative-optional idiom),
+                ?v [NOT] IN (term, ...) (sameTerm membership over
+                node keys),
                 LANG(?v) = "tag", LANGMATCHES(LANG(?v), "range"|"*"),
                 DATATYPE(?v) = xsd:T
     AGG      := COUNT(*) | COUNT([DISTINCT] ?v) | SAMPLE(?v) |
@@ -788,6 +790,29 @@ class _Parser:
         if self.at_word("BOUND"):
             g["bound"].append(self._parse_bound(not neg))
             self.expect_op(")")
+            return
+        if not neg and self.peek()[0] == "VAR" \
+                and self.peek(1)[0] == "WORD" \
+                and self.peek(1)[1].upper() in ("IN", "NOT"):
+            # ?v IN ( term, ... ) / ?v NOT IN ( ... ): sameTerm
+            # membership over node keys
+            var = self._expect_var("IN")
+            is_not = self.take_word("NOT")
+            self.expect_word("IN")
+            self.expect_op("(")
+            keys = []
+            while True:
+                t = self._parse_values_term()
+                if t is None:
+                    raise self.error("IN terms must be constants")
+                keys.append(t)
+                if not self.take_op(","):
+                    break
+            self.expect_op(")")
+            self.expect_op(")")
+            g["filters"].append(
+                (var, "not_in" if is_not else "in", keys)
+            )
             return
         spec = self._parse_builtin_constraint(positive=not neg)
         if spec is not None:
