@@ -1213,3 +1213,16 @@ def test_filter_in_not_in(g):
         "VALUES ?e { <e:duck> } }"
     )
     assert rows(a) == rows(vals)
+
+
+def test_bind_strbefore_strafter(g):
+    got = g.sparql(
+        'SELECT ?d (STRBEFORE(?sd, ":") AS ?pre) '
+        '(STRAFTER(?sd, ":") AS ?post) (STRAFTER(?sd, "zzz") AS ?none) '
+        "WHERE { ?d kg:words ?w BIND(STR(?d) AS ?sd) }"
+    )
+    assert rows(got) == [
+        ("<doc:1>", '"doc"^^<>', '"1"^^<>', '""^^<>'),
+        ("<doc:2>", '"doc"^^<>', '"2"^^<>', '""^^<>'),
+        ("<doc:3>", '"doc"^^<>', '"3"^^<>', '""^^<>'),
+    ]

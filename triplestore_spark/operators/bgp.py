@@ -491,7 +491,7 @@ def _bind_refs(spec) -> list[str]:
     """Variable names a bind spec reads (bare, no '?')."""
     form = spec[0]
     if form in ("var", "str", "ucase", "lcase", "substr", "replace",
-                "strlen"):
+                "strlen", "strbefore", "strafter"):
         return [_var(spec[1])]
     if form == "const":
         return []
@@ -639,6 +639,23 @@ def compile_bind_expr(spec) -> Column:
             F.length(val).cast("string"),
             F.lit('"^^<xsd:integer>'),
         )
+    if form in ("strbefore", "strafter"):
+        _, _, val, _, _ = parse_node_key(F.col(_var(spec[1])))
+        needle = spec[2]
+        if not needle:
+            raise ValueError(f"bgp bind: {form} needs a non-empty "
+                             "separator")
+        pos = F.instr(val, needle)
+        # SPARQL: empty simple literal when the separator is absent
+        part = F.when(
+            pos > 0,
+            F.substring(val, 1, pos - 1)
+            if form == "strbefore"
+            else F.substring(
+                val, pos + len(needle), 2**31 - 1
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(F.lit('"'), part, F.lit('"^^<>'))
     if form == "coalesce":
         subs = [compile_bind_expr(s) for s in spec[1]]
         if not subs:

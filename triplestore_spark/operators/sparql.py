@@ -47,6 +47,7 @@ Supported grammar (case-insensitive keywords)::
                 or  { group } UNION { group } [UNION ...]
     bindexpr := constant | ?v | STR(?v) | CONCAT(args...) |
                 UCASE/LCASE(?v) | SUBSTR(?v, s[, l]) |
+                STRBEFORE/STRAFTER(?v, "sep") |
                 REPLACE(?v, "re", "rep") | STRLEN(?v) |
                 COALESCE(bindexpr, ...) | IF(constraint, e1, e2) |
                 numop (+|-|*) numop  with numop := xsd:integer(?v)
@@ -1035,6 +1036,21 @@ class _Parser:
                 length = int(lv)
             self.expect_op(")")
             return ("substr", var, int(sv), length)
+        if k == "WORD" and v.upper() in ("STRBEFORE", "STRAFTER") \
+                and self.peek(1)[1] == "(":
+            fn = v.upper().lower()
+            self.next()
+            self.expect_op("(")
+            var = self._expect_var(f"{v}()")
+            self.expect_op(",")
+            sk, sv, _ = self.next()
+            if sk != "STRING":
+                raise self.error(f'{v} takes (?v, "separator")')
+            value, lang, typ = _unquote(sv)
+            if lang or typ:
+                raise self.error(f"{v} takes a plain string")
+            self.expect_op(")")
+            return (fn, var, value)
         if k == "WORD" and v.upper() == "REPLACE" \
                 and self.peek(1)[1] == "(":
             self.next()
