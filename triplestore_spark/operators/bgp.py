@@ -380,7 +380,12 @@ def _fn_filters():
                 (F.lower(lang) == str(a).lower())
                 | F.lower(lang).startswith(str(a).lower() + "-")
             ),
-        # DATATYPE(?v) = xsd:T — literals only, short or long form
+        # DATATYPE(?v) = xsd:T — literals only, short or long form.
+        # Deliberate deviation from SPARQL 1.1's "simple literals
+        # report xsd:string": this engine's okey identity rule keeps
+        # untagged and xsd:string-tagged literals DISTINCT terms
+        # (functions/keys.py), so DATATYPE mirrors the stored tag —
+        # an untagged literal matches no datatype, same as sameTerm
         "datatype": lambda key, kind, val, vtyp, lang, a:
             (kind == "lit") & _tag_matches(vtyp, str(a)),
     }
