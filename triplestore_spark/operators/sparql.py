@@ -1255,7 +1255,10 @@ class _Parser:
             if caster is None:
                 return (value, typ)
             return (caster(value), typ)
-        raise self.error("expected a literal FILTER comparand")
+        raise self.error(
+            "expected a literal FILTER comparand — for IRI equality "
+            "use ?v IN (<iri>) (sameTerm membership) or VALUES"
+        )
 
     # -- VALUES ------------------------------------------------------
 
