@@ -67,6 +67,29 @@ def test_pipeline_pr_vs_oracle(spark, docs, sf_dir):
     assert (p, r) == (1.0, 1.0)
 
 
+def test_candidates_direct_equals_corpus(spark, docs):
+    """The doc-direct extractors (hot path, r7 optimization) must
+    produce exactly the rows of the corpus-mediated extractors."""
+    from triplestore_spark.pipeline import spec
+    from triplestore_spark.pipeline.extract import (
+        extract_media_triples,
+        extract_media_triples_direct,
+        extract_mention_surfaces,
+        extract_mention_surfaces_direct,
+    )
+
+    corpus = build_corpus(docs)
+    surf = list(spec.GAZETTEER)
+    a = extract_mention_surfaces(corpus, candidate_surfaces=surf)
+    b = extract_mention_surfaces_direct(docs, candidate_surfaces=surf)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    m_corpus = extract_media_triples(corpus)
+    m_direct = extract_media_triples_direct(docs)
+    assert sorted(map(tuple, m_corpus.collect())) == sorted(
+        map(tuple, m_direct.collect())
+    )
+
+
 def test_pipeline_dedup_is_canonical(spark, sf_dir):
     canon = run_pipeline(spark, sf_dir)
     assert canon.count() == canon.select("tkey").distinct().count()

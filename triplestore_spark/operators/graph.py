@@ -68,9 +68,14 @@ def dedup_triples(df: DataFrame) -> DataFrame:
     deterministic concat of the components; multi-column equality
     also avoids the reference's unseparated-concat ambiguity).
     Hash partial+final aggregation; AQE handles skewed keys."""
-    return with_keys(
+    out = with_keys(
         df.select(*S.TRIPLE_FIELDS).dropDuplicates(S.TRIPLE_FIELDS)
     )
+    # marker consumed by materialize_graph: this exact DataFrame object
+    # is already canonical, so re-deduplicating it there would add a
+    # second full exchange+aggregate for nothing
+    out._ts_canonical = True
+    return out
 
 
 class RDFGraph:

@@ -75,7 +75,12 @@ def materialize_graph(
 
     Returns the manifest. Skips the write when the fingerprint matches
     the existing manifest (snapshot memoization)."""
-    canon = dedup_triples(df).cache()
+    if getattr(df, "_ts_canonical", False) and "tkey" in df.columns:
+        # already the exact output of dedup_triples (marker set there):
+        # re-deduplicating would repeat the full exchange + aggregate
+        canon = df.cache()
+    else:
+        canon = dedup_triples(df).cache()
     fp = graph_fingerprint(canon)
 
     manifest_path = os.path.join(path, MANIFEST)

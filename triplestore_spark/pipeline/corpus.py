@@ -20,7 +20,18 @@ from triplestore_spark.pipeline import spec
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # The synthetic corpus ships as ONE parquet row group, so the scan
+    # cannot be split by maxPartitionBytes and everything before the
+    # first exchange would run on one core. Round-robin repartition to
+    # the session's parallelism ONLY when the scan is under-split —
+    # at real scale (many files/row groups) the condition never fires
+    # and no shuffle is added. The shuffle moves the raw documents
+    # once, before the ~10x row expansion of extraction.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs
 
 
 def build_corpus(docs: DataFrame) -> DataFrame:

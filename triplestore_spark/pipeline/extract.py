@@ -51,6 +51,57 @@ def extract_mention_surfaces(
     )
 
 
+def extract_mention_surfaces_direct(
+    docs: DataFrame, candidate_surfaces: list[str] | None = None
+) -> DataFrame:
+    """Same (doc_id, surface) rows as extract_mention_surfaces(
+    build_corpus(docs), ...), computed straight from the raw document
+    text. The text spans are consecutive word chunks re-joined with
+    single spaces, so the token multiset of all text spans IS
+    split(text, ' ') — building the chunk strings (array_join +
+    re-split per chunk) only to tokenize them again is pure waste on
+    the hot path. array_intersect already returns distinct elements,
+    so no separate array_distinct pass is needed."""
+    words = F.split(F.col("text"), " ")
+    if candidate_surfaces is not None:
+        surfaces = F.array_intersect(
+            words,
+            F.array(*[F.lit(x) for x in sorted(candidate_surfaces)]),
+        )
+    else:
+        surfaces = words
+    return docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("doc_id"),
+        F.explode(surfaces).alias("surface"),
+    )
+
+
+def extract_media_triples_direct(docs: DataFrame) -> DataFrame:
+    """Same rows as extract_media_triples(build_corpus(docs)): media
+    spans exist for chunk index j < ceil(n_words/CHUNK_WORDS) with
+    (doc_id * 31 + j) % MEDIA_EVERY == 0 — derivable without
+    materializing any span text."""
+    W = spec.CHUNK_WORDS
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(words) + W - 1) / W).cast("int")
+    js = F.filter(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: (F.col("doc_id") * 31 + j) % spec.MEDIA_EVERY == 0,
+    )
+    media = docs.select("doc_id", F.explode(js).alias("j"))
+    return media.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("subject"),
+        F.lit(False).alias("subject_is_bnode"),
+        F.lit(spec.PRED_HAS_MEDIA).alias("predicate"),
+        F.lit(S.KIND_RESOURCE).alias("object_kind"),
+        F.concat(
+            F.lit("media://"), F.col("doc_id"), F.lit("/"), F.col("j")
+        ).alias("object_value"),
+        F.lit("").alias("object_type"),
+        F.lit("").alias("object_lang"),
+    )
+
+
 def extract_media_triples(corpus: DataFrame) -> DataFrame:
     """T2: (doc, kg:hasMedia, <media_ref>) candidate triples."""
     media = corpus.select(

@@ -10,12 +10,11 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from triplestore_spark.functions.keys import with_keys
 from triplestore_spark.operators.graph import dedup_triples
-from triplestore_spark.pipeline.corpus import build_corpus, read_documents
+from triplestore_spark.pipeline.corpus import read_documents
 from triplestore_spark.pipeline.extract import (
-    extract_media_triples,
-    extract_mention_surfaces,
+    extract_media_triples_direct,
+    extract_mention_surfaces_direct,
     extract_metadata_triples,
 )
 from triplestore_spark.pipeline.resolve import gazetteer_df, resolve_mentions
@@ -26,17 +25,24 @@ def candidate_triples(
     docs: DataFrame,
     strategy: str = "broadcast",
 ) -> DataFrame:
+    # Mentions and media are derived STRAIGHT from the documents: the
+    # interleaved-corpus span strings (build_corpus) are a pure
+    # intermediate for these two streams — token multiset and media
+    # chunk indices are functions of the raw text (see the *_direct
+    # extractors; equality with the corpus path is locked by
+    # tests/test_pipeline.py::test_candidates_direct_equals_corpus).
+    # Dropping the chunk-string materialization removed ~40% of the
+    # extraction stage's per-core compute (OPTIMIZATION_r07.md).
     from triplestore_spark.pipeline import spec
 
-    corpus = build_corpus(docs)
     mentions = resolve_mentions(
-        extract_mention_surfaces(
-            corpus, candidate_surfaces=list(spec.GAZETTEER)
+        extract_mention_surfaces_direct(
+            docs, candidate_surfaces=list(spec.GAZETTEER)
         ),
         gazetteer_df(spark),
         strategy=strategy,
     )
-    media = extract_media_triples(corpus)
+    media = extract_media_triples_direct(docs)
     metadata = extract_metadata_triples(docs)
     return mentions.unionByName(media).unionByName(metadata)
 
