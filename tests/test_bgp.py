@@ -1066,6 +1066,31 @@ def test_bgp_filter_differential_vs_posthoc_where(priced_graph):
     assert 0 < n_f < n_all
 
 
+def test_kind_tests_drop_null_bindings(spark):
+    """isLiteral/isIRI/isBlank over a NULL node key (e.g. a NULL
+    subquery aggregate) must DROP the row per SPARQL error semantics,
+    not classify NULL as a literal (ADVICE r6, low)."""
+    from triplestore_spark.operators.bgp import compile_binding_filter
+
+    df = spark.createDataFrame(
+        [('"x"^^<xsd:string>',), ("<e:spark>",), (None,)], "k: string"
+    )
+    lit_rows = df.where(compile_binding_filter("k", "isliteral", True))
+    assert [r["k"] for r in lit_rows.collect()] == ['"x"^^<xsd:string>']
+    # negated form: NULL must not satisfy "is not an IRI" either
+    not_iri = df.where(compile_binding_filter("k", "isiri", False))
+    assert [r["k"] for r in not_iri.collect()] == ['"x"^^<xsd:string>']
+
+
+def test_empty_path_group_named_error():
+    """'()' inside a path alternative raises a named parse error, not
+    a bare NoneType crash from the edge composer (ADVICE r6, low)."""
+    from triplestore_spark.operators.bgp import _seq_alt_steps
+
+    with pytest.raises(ValueError, match="empty group"):
+        _seq_alt_steps("()")
+
+
 def test_bgp_filter_multi_pattern_var_post_join(priced_graph):
     """A filter on a variable bound by TWO patterns applies after the
     join (and still gives the right answer)."""

@@ -251,6 +251,26 @@ def test_union_null_pads_missing_vars(agg_graph, agg_con):
     assert ("<doc:3>", "<e:flink>") in got
 
 
+def test_union_arm_joins_vars_projected(spark, agg_graph):
+    """A joins= DataFrame in a union arm can bind variables no triple
+    pattern mentions; those columns must appear in the union output
+    (NULL-padded in other arms), not be silently dropped
+    (ADVICE r6, low)."""
+    side = spark.createDataFrame(
+        [("<doc:1>", "alpha"), ("<doc:2>", "beta")], ["d", "tag"]
+    )
+    groups = [
+        {"patterns": [("?d", "kg:mentions", "?e")], "joins": [side]},
+        [("?d", "kg:nchars", "?n")],
+    ]
+    out = bgp_union(agg_graph, groups)
+    assert "tag" in out.columns
+    got = _spark_rows(out)
+    assert any(t[out.columns.index("tag")] == "alpha" for t in got)
+    # arm 2 NULL-pads tag
+    assert any(t[out.columns.index("tag")] is None for t in got)
+
+
 def test_union_bag_vs_set(agg_graph, agg_con):
     """The same arm twice: set mode collapses, bag mode doubles."""
     groups = [MENTIONS, MENTIONS]

@@ -646,6 +646,57 @@ def test_offset_with_order_by(g):
     ]
 
 
+def test_aggregate_offset_without_distinct(g):
+    """OFFSET must apply to aggregate queries even when DISTINCT is
+    absent (ADVICE r6, high: offset was silently dropped unless the
+    DISTINCT late-modifier path was taken)."""
+    base = g.sparql(
+        "SELECT ?e (COUNT(?d) AS ?n) WHERE { ?d kg:mentions ?e } "
+        "GROUP BY ?e ORDER BY ?e"
+    ).collect()
+    got = g.sparql(
+        "SELECT ?e (COUNT(?d) AS ?n) WHERE { ?d kg:mentions ?e } "
+        "GROUP BY ?e ORDER BY ?e LIMIT 5 OFFSET 1"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in base[1:6]]
+    assert len(got) == len(base) - 1  # offset actually skipped a row
+    # and through the UNION aggregate branch
+    base_u = g.sparql(
+        "SELECT ?e (COUNT(?d) AS ?n) WHERE { { ?d kg:mentions ?e } "
+        "UNION { ?e rdf:type ?t } } GROUP BY ?e ORDER BY ?e"
+    ).collect()
+    got_u = g.sparql(
+        "SELECT ?e (COUNT(?d) AS ?n) WHERE { { ?d kg:mentions ?e } "
+        "UNION { ?e rdf:type ?t } } GROUP BY ?e ORDER BY ?e "
+        "LIMIT 5 OFFSET 1"
+    ).collect()
+    assert [tuple(r) for r in got_u] == [tuple(r) for r in base_u[1:6]]
+
+
+def test_describe_var_iri_bnode_no_collapse(spark):
+    """DESCRIBE ?v must not conflate an IRI <x> with a bnode _:x that
+    shares the bare name (ADVICE r6, medium)."""
+    tw = [
+        ("x", True, "kg:note", "lit", "bnode-subj", "xsd:string", ""),
+        ("x", False, "kg:note", "lit", "iri-subj", "xsd:string", ""),
+        ("doc:9", False, "kg:ref", "res", "x", "", ""),
+        ("doc:9", False, "kg:refb", "bnode", "x", "", ""),
+    ]
+    gg = RDFGraph(spark.createDataFrame(tw, S.TRIPLE_SCHEMA), cache=False)
+    got = rows(
+        sparql_query(gg, "DESCRIBE ?v WHERE { doc:9 kg:ref ?v }").select(
+            "subject", "subject_is_bnode", "predicate", "object_kind",
+            "object_value",
+        )
+    )
+    # the IRI x: its subject row (non-bnode) + the kg:ref object row;
+    # NOT the bnode-subject note, NOT the bnode object reference
+    assert got == [
+        ("doc:9", False, "kg:ref", "res", "x"),
+        ("x", False, "kg:note", "lit", "iri-subj"),
+    ]
+
+
 def test_bind_parse_errors_named(g):
     cases = [
         ("SELECT * WHERE { ?d kg:words ?w . BIND(1 AS ?w) }",

@@ -176,7 +176,12 @@ def parse_node_key(c: Column | str):
     is_typed = c.rlike(typed)
     is_lang = ~is_typed & c.rlike(langd)
     kind = (
-        F.when(is_res, F.lit(KIND_RESOURCE))
+        # NULL key (e.g. an unmatched OPTIONAL or a NULL subquery
+        # aggregate) must classify as NO kind, not fall through to
+        # 'lit' — isLiteral(NULL) would otherwise evaluate TRUE where
+        # SPARQL error semantics drop the row (ADVICE r6, low)
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(is_res, F.lit(KIND_RESOURCE))
         .when(is_bnode, F.lit("bnode"))
         .otherwise(F.lit("lit"))
     )
@@ -1237,6 +1242,10 @@ def _seq_alt_steps(a: str) -> list[tuple]:
     """Parse one '(p1/p2)' group ALTERNATIVE into its fixed-length
     inner steps (shared by the closure edge builders)."""
     inner = [_parse_path_step(s) for s in _split_path_expr(a[1:-1])]
+    if not inner:
+        # '()' / '()*' would otherwise crash later with a bare
+        # NoneType error from the edge composer (ADVICE r6, low)
+        raise ValueError(f"property_path: empty group — {a!r}")
     for in_alts, in_lo, in_hi in inner:
         if isinstance(in_alts, _SeqGroup) or (in_lo, in_hi) != (1, 1):
             raise ValueError(
@@ -1475,6 +1484,8 @@ def _seq_edges(graph, inner_steps: Sequence[tuple]) -> DataFrame:
             cur = cur.join(hop, cur["_cd"] == hop["_hs"]).select(
                 "_cs", F.col("_hd").alias("_cd")
             )
+    if cur is None:
+        raise ValueError("property_path: empty group")
     return cur.distinct()
 
 

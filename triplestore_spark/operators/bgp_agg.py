@@ -372,6 +372,13 @@ def _union_vars(groups: Sequence[dict]) -> list[str]:
             bv = bv.lstrip("?")
             if bv not in out:
                 out.append(bv)
+        for jdf in g.get("joins") or []:
+            # a subquery join can bind variables no triple pattern
+            # mentions — without this they were silently dropped from
+            # the union output (ADVICE r6, low)
+            for jc in jdf.columns:
+                if jc not in out:
+                    out.append(jc)
     if not out:
         raise ValueError("bgp_union: no variables in any arm")
     return out

@@ -1856,27 +1856,39 @@ def sparql_query(graph, text: str):
                 "the WHERE group"
             )
         # distinct node NAMES (IRIs/bnodes only — literals are not
-        # describable); one semi-join per role, no driver collect
+        # describable); one semi-join per role, no driver collect.
+        # The kind travels WITH the name: an IRI <x> and a bnode _:x
+        # must not collapse onto the same bare text, so both joins
+        # also match on is-bnode.
         nodes = (
             m.select(F.col(var).alias("__k"))
             .where(~F.col("__k").startswith('"'))
             .select(
+                F.col("__k").startswith("_:").alias("__b"),
                 F.when(
                     F.col("__k").startswith("_:"),
                     F.expr("substring(__k, 3)"),
                 ).otherwise(
                     F.expr("substring(__k, 2, length(__k) - 2)")
-                ).alias("__n")
+                ).alias("__n"),
             )
             .distinct()
         )
         df = g.df
         as_subj = df.join(
-            nodes, df["subject"] == nodes["__n"], "left_semi"
+            nodes,
+            (df["subject"] == nodes["__n"])
+            & (df["subject_is_bnode"] == nodes["__b"]),
+            "left_semi",
         )
         as_obj = df.where(
             F.col("object_kind").isin(S.KIND_RESOURCE, S.KIND_BNODE)
-        ).join(nodes, df["object_value"] == nodes["__n"], "left_semi")
+        ).join(
+            nodes,
+            (df["object_value"] == nodes["__n"])
+            & ((df["object_kind"] == S.KIND_BNODE) == nodes["__b"]),
+            "left_semi",
+        )
         return as_subj.unionByName(as_obj).distinct()
 
     where = q["where"]
@@ -1951,7 +1963,10 @@ def _select_df(graph, q: dict):
                     f"sparql: projected variables {stray} must appear "
                     "in GROUP BY (or inside an aggregate)"
                 )
-            late_mods = q["distinct"] and (q["order_by"] or q["limit"])
+            late_mods = (
+                bool(q["distinct"] and (q["order_by"] or q["limit"]))
+                or q["offset"] is not None
+            )
             df = bgp_union(
                 graph,
                 union_arms,
@@ -2005,7 +2020,10 @@ def _select_df(graph, q: dict):
         # DISTINCT over aggregates dedupes the PROJECTED rows, so the
         # modifiers must run after the projection+distinct, not inside
         # bgp_select (ordering before a .distinct() would be undone)
-        late_mods = q["distinct"] and (q["order_by"] or q["limit"])
+        late_mods = (
+            bool(q["distinct"] and (q["order_by"] or q["limit"]))
+            or q["offset"] is not None
+        )
         df = bgp_select(
             graph,
             where["patterns"],

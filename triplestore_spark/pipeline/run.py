@@ -17,7 +17,11 @@ from triplestore_spark.pipeline.extract import (
     extract_mention_surfaces_direct,
     extract_metadata_triples,
 )
-from triplestore_spark.pipeline.resolve import gazetteer_df, resolve_mentions
+from triplestore_spark.pipeline.resolve import (
+    gazetteer_df,
+    resolve_mentions,
+    resolve_mentions_static,
+)
 
 
 def candidate_triples(
@@ -35,13 +39,18 @@ def candidate_triples(
     # extraction stage's per-core compute (OPTIMIZATION_r07.md).
     from triplestore_spark.pipeline import spec
 
-    mentions = resolve_mentions(
-        extract_mention_surfaces_direct(
-            docs, candidate_surfaces=list(spec.GAZETTEER)
-        ),
-        gazetteer_df(spark),
-        strategy=strategy,
+    surfaces = extract_mention_surfaces_direct(
+        docs, candidate_surfaces=list(spec.GAZETTEER)
     )
+    if strategy == "broadcast":
+        # the gazetteer is a plan-time constant: a literal-map lookup
+        # beats even a broadcast join (no broadcast build per query,
+        # no join node — one codegen projection)
+        mentions = resolve_mentions_static(surfaces, dict(spec.GAZETTEER))
+    else:
+        mentions = resolve_mentions(
+            surfaces, gazetteer_df(spark), strategy=strategy
+        )
     media = extract_media_triples_direct(docs)
     metadata = extract_metadata_triples(docs)
     return mentions.unionByName(media).unionByName(metadata)
