@@ -90,6 +90,37 @@ def test_candidates_direct_equals_corpus(spark, docs):
     )
 
 
+def test_single_pass_equals_union(spark, docs):
+    """The single-pass extractor (hot path, r7 optimization: one
+    projection + one explode for all three candidate streams) must be
+    row-multiset-identical to the three-branch union it replaces."""
+    from triplestore_spark.pipeline import spec
+    from triplestore_spark.pipeline.extract import (
+        extract_all_candidates_direct,
+        extract_media_triples_direct,
+        extract_mention_surfaces_direct,
+        extract_metadata_triples,
+    )
+    from triplestore_spark.pipeline.resolve import resolve_mentions_static
+
+    mapping = dict(spec.GAZETTEER)
+    single = extract_all_candidates_direct(docs, mapping)
+    union = (
+        resolve_mentions_static(
+            extract_mention_surfaces_direct(
+                docs, candidate_surfaces=list(mapping)
+            ),
+            mapping,
+        )
+        .unionByName(extract_media_triples_direct(docs))
+        .unionByName(extract_metadata_triples(docs))
+    )
+    assert single.columns == union.columns
+    assert sorted(map(tuple, single.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+
+
 def test_pipeline_dedup_is_canonical(spark, sf_dir):
     canon = run_pipeline(spark, sf_dir)
     assert canon.count() == canon.select("tkey").distinct().count()

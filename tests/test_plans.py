@@ -72,6 +72,10 @@ def test_extract_path_whole_stage_codegen(spark, sf_dir):
     from triplestore_spark.pipeline.extract import extract_metadata_triples
 
     meta = extract_metadata_triples(read_documents(spark, sf_dir))
+    # the under-split repartition wraps the plan in AdaptiveSparkPlan,
+    # which hides codegen markers until stages are finalized — execute
+    # first, then read the final adaptive plan (r7)
+    meta.collect()
     plan = plan_str(meta)
     # '*(n)' prefixes mark WholeStageCodegen stages in the tree string
     assert "*(1)" in plan

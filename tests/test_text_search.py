@@ -384,6 +384,27 @@ def test_similar_documents_duplicates_rank_first(spark):
     assert by_q["b"]["cosine"] < 1.0
 
 
+def test_similar_documents_default_bounded(spark):
+    """The all-pairs default must refuse above max_default_docs by
+    name (r7: no full-corpus driver collect reachable from a default
+    call path) and still work below the bound."""
+    from triplestore_spark.operators.text_search import similar_documents
+
+    docs = {
+        "a1": "spark shuffles partitions across the cluster",
+        "a2": "spark shuffles partitions across the cluster",
+        "b": "ducks swim on the quiet pond",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="lsh_topk"):
+        similar_documents(df, k=1, dim=64, max_default_docs=2)
+    # below the bound the default still ranks every document
+    rows = similar_documents(df, k=1, dim=64, max_default_docs=10)
+    assert {r["query_id"] for r in rows.collect()} == {"a1", "a2", "b"}
+
+
 def test_tfidf_refusals(spark):
     from triplestore_spark.operators.text_search import (
         build_text_index,

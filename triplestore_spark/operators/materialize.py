@@ -60,8 +60,17 @@ def graph_fingerprint(df: DataFrame) -> dict:
         F.coalesce(
             F.bit_xor(F.xxhash64("tkey", F.lit(1))), F.lit(0)
         ).alias("hx2"),
+        # logical payload size (the tkey is the concatenation of every
+        # component, so its length ~= the row's text bytes); rides the
+        # same partial-agg pass for free and sizes the layout writes
+        F.coalesce(F.sum(F.length("tkey")), F.lit(0)).alias("nbytes"),
     ).collect()[0]
-    return {"count": row["n"], "hx": int(row["hx"]), "hx2": int(row["hx2"])}
+    return {
+        "count": row["n"],
+        "hx": int(row["hx"]),
+        "hx2": int(row["hx2"]),
+        "nbytes": int(row["nbytes"]),
+    }
 
 
 def materialize_graph(
@@ -78,10 +87,18 @@ def materialize_graph(
     if getattr(df, "_ts_canonical", False) and "tkey" in df.columns:
         # already the exact output of dedup_triples (marker set there):
         # re-deduplicating would repeat the full exchange + aggregate
-        canon = df.cache()
+        src = df
     else:
-        canon = dedup_triples(df).cache()
-    fp = graph_fingerprint(canon)
+        src = dedup_triples(df)
+    # cache the 7 COMPONENT columns only: the derived okey/tkey strings
+    # (~150 B/row, about half the row) are recomputed by a codegen
+    # concat wherever needed — the fingerprint derives tkey on the fly
+    # over the cached components, and the layout writes read exactly
+    # the stored columns (r7: smaller cache, same passes)
+    canon = src.select(*S.TRIPLE_FIELDS).cache()
+    from triplestore_spark.functions.keys import with_keys
+
+    fp = graph_fingerprint(with_keys(canon))
 
     manifest_path = os.path.join(path, MANIFEST)
     if not force and os.path.exists(manifest_path):
@@ -94,13 +111,27 @@ def materialize_graph(
             return old
 
     if num_partitions is None:
-        # ~one partition per shuffle slot locally; on a cluster size by
-        # target file size (128-512 MB of triples per file)
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        # Derive the layout partitioning from the DATA SIZE, not a
+        # constant (guide §2/§6: scale-adaptive partitioning, output
+        # file sizing): one partition per TARGET logical bytes of
+        # triple text, so a 10x corpus gets 10x the files and a tiny
+        # corpus is not sprayed across 32 near-empty sorted files
+        # (measured: 3-layout write of the sf1.0-sim corpus 3.3 s at
+        # the old constant 32 vs 2.6 s size-derived; 2.7 s -> 1.4 s at
+        # sf0.1 — OPTIMIZATION_r07.md). The default target is local-
+        # sized; production deployments set
+        # SPARK_GRAFT_MATERIALIZE_PARTITION_BYTES to ~512 MB (logical)
+        # for 100-200 MB zstd parquet files per guide §6, or move the
+        # writer to Iceberg write.target-file-size-bytes.
+        target = int(
+            os.environ.get(
+                "SPARK_GRAFT_MATERIALIZE_PARTITION_BYTES",
+                str(8 * 1024 * 1024),
+            )
         )
+        num_partitions = max(1, -(-fp["nbytes"] // max(1, target)))
 
-    bare = canon.select(*S.TRIPLE_FIELDS)
+    bare = canon
 
     def write_layout(layout: str) -> None:
         keys = LAYOUTS[layout]

@@ -19,18 +19,56 @@ from pyspark.sql import functions as F
 from triplestore_spark.pipeline import spec
 
 
+def _estimated_scan_partitions(spark: SparkSession, docs: DataFrame) -> int:
+    """Estimate the scan's task count from file sizes (ceil(bytes /
+    maxPartitionBytes) summed per file). Matches Spark's split packing
+    closely enough for the under-split test below, and costs one cheap
+    file listing instead of the `df.rdd` plan conversion (~50 ms per
+    pipeline construction, measured). Non-local files fall back to the
+    exact `.rdd.getNumPartitions()`."""
+    import re
+
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ).lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+    if m:
+        mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        max_bytes = int(m.group(1)) * mult[m.group(2)]
+    else:
+        max_bytes = 128 * 1024 * 1024
+    total = 0
+    for uri in docs.inputFiles():
+        if not uri.startswith("file:"):
+            return docs.rdd.getNumPartitions()
+        path = uri[len("file:") :]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            total += max(1, -(-os.path.getsize(path) // max_bytes))
+        except OSError:
+            return docs.rdd.getNumPartitions()
+    return max(1, total)
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     # The synthetic corpus ships as ONE parquet row group, so the scan
     # cannot be split by maxPartitionBytes and everything before the
-    # first exchange would run on one core. Round-robin repartition to
-    # the session's parallelism ONLY when the scan is under-split —
+    # first exchange would run on one core. Repartition to the
+    # session's parallelism ONLY when the scan is under-split —
     # at real scale (many files/row groups) the condition never fires
     # and no shuffle is added. The shuffle moves the raw documents
-    # once, before the ~10x row expansion of extraction.
+    # once, before the ~10x row expansion of extraction. Hash
+    # partitioning on doc_id (unique, deterministic) instead of
+    # round-robin: a keyless repartition must pre-sort its input for
+    # retry determinism (spark.sql.execution.sortBeforeRepartition,
+    # guide §2.5) — one wasted single-task sort of the whole corpus
+    # here — while a deterministic key needs no sort and cannot
+    # duplicate/lose rows under fetch-failure replays.
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    if _estimated_scan_partitions(spark, docs) < target:
+        docs = docs.repartition(target, F.col("doc_id"))
     return docs
 
 

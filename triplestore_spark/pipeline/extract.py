@@ -121,6 +121,113 @@ def extract_media_triples(corpus: DataFrame) -> DataFrame:
     )
 
 
+def extract_all_candidates_direct(
+    docs: DataFrame, mapping: dict[str, str]
+) -> DataFrame:
+    """All three candidate streams (mentions + media + metadata) in ONE
+    projection + ONE explode over the raw documents.
+
+    Row-multiset-identical to
+
+        resolve_mentions_static(extract_mention_surfaces_direct(docs,
+            list(mapping)), mapping)
+          .unionByName(extract_media_triples_direct(docs))
+          .unionByName(extract_metadata_triples(docs))
+
+    (locked by tests/test_pipeline.py::test_single_pass_equals_union).
+
+    Why: the union shape scans/shuffles the documents once PER BRANCH —
+    column pruning projects each branch differently, so exchange reuse
+    cannot collapse them (verified in plans/r07/q1_pipeline_count_
+    before.txt: two RoundRobinPartitioning exchanges) — and splits the
+    text once per branch. Building the three span-triple arrays in one
+    pass and exploding their concat gives one scan, one exchange, one
+    Generate (guide §1.2-1 'remove unnecessary passes', §2.4 'remove
+    shuffles outright'). Every expression below is copied verbatim from
+    the single-stream extractors so the row sets stay byte-identical.
+    """
+    W = spec.CHUNK_WORDS
+    doc = F.concat(F.lit("doc:"), F.col("doc_id"))
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(words) + W - 1) / W).cast("int")
+    title = F.array_join(F.slice(words, 1, spec.TITLE_WORDS), " ")
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+    )
+
+    def t(pred, kind, value, typ="", lang=""):
+        return F.struct(
+            doc.alias("subject"),
+            F.lit(False).alias("subject_is_bnode"),
+            (F.lit(pred) if isinstance(pred, str) else pred).alias("predicate"),
+            (F.lit(kind) if isinstance(kind, str) else kind).alias("object_kind"),
+            value.alias("object_value"),
+            (F.lit(typ) if isinstance(typ, str) else typ).alias("object_type"),
+            (F.lit(lang) if isinstance(lang, str) else lang).alias("object_lang"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<subject:string,subject_is_bnode:boolean,"
+        "predicate:string,object_kind:string,object_value:string,"
+        "object_type:string,object_lang:string>>"
+    )
+    # T1 mentions: array_intersect returns the distinct dictionary hits
+    # (⊆ mapping keys, so the map lookup never misses — the static
+    # path's isNotNull filter is vacuous and elided); coalesce guards a
+    # NULL text, where the union shape yields no mention rows either
+    mentions = F.coalesce(
+        F.transform(
+            F.array_intersect(
+                words, F.array(*[F.lit(x) for x in sorted(mapping)])
+            ),
+            lambda s: t(
+                spec.PRED_MENTIONS, S.KIND_RESOURCE, m[s]
+            ),
+        ),
+        empty,
+    )
+    # T2 media: chunk index j < n_chunks with (doc_id*31 + j) % MEDIA_EVERY == 0
+    media = F.coalesce(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda j: (F.col("doc_id") * 31 + j) % spec.MEDIA_EVERY == 0,
+            ),
+            lambda j: t(
+                spec.PRED_HAS_MEDIA,
+                S.KIND_RESOURCE,
+                F.concat(F.lit("media://"), F.col("doc_id"), F.lit("/"), j),
+            ),
+        ),
+        empty,
+    )
+    # T3-T6 metadata (same four structs as extract_metadata_triples)
+    metadata = F.array(
+        t(
+            spec.PRED_SOURCE,
+            S.KIND_RESOURCE,
+            F.concat(F.lit("src:"), F.col("source")),
+        ),
+        t(
+            spec.PRED_TITLE,
+            S.KIND_LITERAL,
+            title,
+            typ=S.XSD_STRING,
+            lang=F.col("lang"),
+        ),
+        t(
+            spec.PRED_NCHARS,
+            S.KIND_LITERAL,
+            F.col("n_chars").cast("string"),
+            typ=S.XSD_INTEGER,
+        ),
+        t(spec.PRED_TYPE, S.KIND_RESOURCE, F.lit(spec.TYPE_DOCUMENT)),
+    )
+    return docs.select(
+        F.explode(F.concat(mentions, media, metadata)).alias("t")
+    ).select("t.*")
+
+
 def extract_metadata_triples(docs: DataFrame) -> DataFrame:
     """T3-T6 from the raw document metadata. One projection + explode
     of a 4-element triple array — narrow, shuffle-free."""

@@ -20,7 +20,6 @@ from triplestore_spark.pipeline.extract import (
 from triplestore_spark.pipeline.resolve import (
     gazetteer_df,
     resolve_mentions,
-    resolve_mentions_static,
 )
 
 
@@ -39,18 +38,26 @@ def candidate_triples(
     # extraction stage's per-core compute (OPTIMIZATION_r07.md).
     from triplestore_spark.pipeline import spec
 
-    surfaces = extract_mention_surfaces_direct(
-        docs, candidate_surfaces=list(spec.GAZETTEER)
-    )
     if strategy == "broadcast":
         # the gazetteer is a plan-time constant: a literal-map lookup
         # beats even a broadcast join (no broadcast build per query,
-        # no join node — one codegen projection)
-        mentions = resolve_mentions_static(surfaces, dict(spec.GAZETTEER))
-    else:
-        mentions = resolve_mentions(
-            surfaces, gazetteer_df(spark), strategy=strategy
+        # no join node — one codegen projection). Single-pass shape:
+        # all three streams from ONE projection + ONE explode — the
+        # union form scans and shuffles the documents once per branch
+        # (column pruning defeats exchange reuse across branches);
+        # equality locked by test_single_pass_equals_union.
+        from triplestore_spark.pipeline.extract import (
+            extract_all_candidates_direct,
         )
+
+        return extract_all_candidates_direct(docs, dict(spec.GAZETTEER))
+
+    surfaces = extract_mention_surfaces_direct(
+        docs, candidate_surfaces=list(spec.GAZETTEER)
+    )
+    mentions = resolve_mentions(
+        surfaces, gazetteer_df(spark), strategy=strategy
+    )
     media = extract_media_triples_direct(docs)
     metadata = extract_metadata_triples(docs)
     return mentions.unionByName(media).unionByName(metadata)
