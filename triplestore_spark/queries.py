@@ -33,6 +33,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with the pipeline's under-split guard
+    (pipeline.corpus.read_documents): the synthetic corpus ships as a
+    single parquet row group, so WITHOUT the guard every text-heavy
+    operator gate (tokenize/shingle/minhash/pack/...) runs its whole
+    map stage on ONE core (observed single-task stages in the sf0.1
+    sweep: ts_repetition 5.9 s, dedup_clusters 12.9 s). At real scale
+    the guard never fires. Results are partition-invariant (every
+    operator keys on content, locked by the oracle sweep)."""
+    from triplestore_spark.pipeline.corpus import read_documents
+
+    return read_documents(spark, sf_dir)
+
+
+
 # ---------------------------------------------------------------------------
 # TPC-H melt: the graph-demo triple set
 # ---------------------------------------------------------------------------
@@ -729,7 +744,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # ONE eight-column gate (VERDICT r4 #8): same checked columns,
         # three driver slots freed for ts_repetition /
         # ts_boilerplate_ngrams / ts_sample below
-        lambda spark, sf: TS.doc_stats(_read(spark, sf, "documents")),
+        lambda spark, sf: TS.doc_stats(_read_docs(spark, sf)),
         TS.DOC_STATS_SQL,
     )
     q["ts_repetition"] = (
@@ -737,7 +752,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # standard degenerate-repetition screen; per-row array exprs,
         # no shuffle
         lambda spark, sf: TS.repetition_signals(
-            _read(spark, sf, "documents")
+            _read_docs(spark, sf)
         ),
         TS.REPETITION_SQL,
     )
@@ -745,7 +760,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # C4-style cross-document n-gram flagging (boilerplate /
         # decontamination): md5'd 3-grams, 16-byte-key shuffles only
         lambda spark, sf: TS.boilerplate_ngrams(
-            _read(spark, sf, "documents")
+            _read_docs(spark, sf)
         ),
         TS.boilerplate_ngrams_sql(),
     )
@@ -754,7 +769,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # step): md5-hash draw, bit-identical Spark/DuckDB, invariant
         # under repartitioning — unlike df.sample's per-partition seed
         lambda spark, sf: TS.stratified_sample(
-            _read(spark, sf, "documents"),
+            _read_docs(spark, sf),
             {"src0": 0.9, "src1": 0.6, "src2": 0.3, "src3": 0.1},
         ),
         TS.stratified_sample_sql(
@@ -765,14 +780,14 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     q["ts_bpe_tokens"] = (
         # BPE-ish regex pretokenizer count (GPT-2-shaped alternation,
         # identical leftmost-first semantics in Java regex and RE2)
-        lambda spark, sf: TS.bpe_token_count(_read(spark, sf, "documents")),
+        lambda spark, sf: TS.bpe_token_count(_read_docs(spark, sf)),
         TS.BPE_TOKEN_COUNT_SQL,
     )
     q["ts_chunks"] = (
         # sliding-window document chunking (64-token chunks, 16
         # overlap) — pure Catalyst sequence+explode+slice, exact
         # DuckDB list-slice oracle
-        lambda spark, sf: TS.chunk_documents(_read(spark, sf, "documents")),
+        lambda spark, sf: TS.chunk_documents(_read_docs(spark, sf)),
         TS.chunk_documents_sql(),
     )
     q["ts_pack"] = (
@@ -785,7 +800,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # wrong #2'): no unpartitioned WindowExec (plan-asserted in
         # test_plans).
         lambda spark, sf: TS.pack_documents(
-            _read(spark, sf, "documents").withColumn(
+            _read_docs(spark, sf).withColumn(
                 "shard", (F.col("doc_id") % 8).cast("bigint")
             ),
             shard_col="shard",
@@ -797,7 +812,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # in one codegen pass); oracle composes the same three
         # predicates in SQL
         lambda spark, sf: TS.filter_documents(
-            _read(spark, sf, "documents")
+            _read_docs(spark, sf)
         ).select("doc_id"),
         "SELECT doc_id FROM (" + TS.filter_documents_sql() + ")",
     )
@@ -807,7 +822,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     from triplestore_spark.operators import dedup as DD
 
     q["dedup_exact_groups"] = (
-        lambda spark, sf: DD.exact_dedup_groups(_read(spark, sf, "documents")),
+        lambda spark, sf: DD.exact_dedup_groups(_read_docs(spark, sf)),
         """
         SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_doc_id,
                count(*) AS n_dupes
@@ -816,7 +831,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     )
     q["dedup_ngram_jaccard"] = (
         lambda spark, sf: DD.ngram_jaccard_pairs(
-            _read(spark, sf, "documents"), n=3, threshold=0.02
+            _read_docs(spark, sf), n=3, threshold=0.02
         ),
         """
         WITH sh AS (
@@ -861,7 +876,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     # reproduce exact dedup, not just plausible candidates.
     q["dedup_minhash_verified"] = (
         lambda spark, sf: DD.minhash_lsh_pairs(
-            _read(spark, sf, "documents"), n=3, num_hashes=32, bands=8,
+            _read_docs(spark, sf), n=3, num_hashes=32, bands=8,
             verify_threshold=0.5,
         ),
         """
@@ -967,7 +982,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
 
     def _dup_pairs(spark, sf):
         return DD.minhash_lsh_pairs(
-            _read(spark, sf, "documents"), n=3, num_hashes=32, bands=8,
+            _read_docs(spark, sf), n=3, num_hashes=32, bands=8,
             verify_threshold=0.5,
         ).select("doc_a", "doc_b")
 
@@ -987,7 +1002,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # the dedup DELIVERABLE: docs surviving near-dup removal
         # (cluster-canonical docs + all un-clustered docs)
         lambda spark, sf: DD.dedup_keep_list(
-            _read(spark, sf, "documents"), _dup_pairs(spark, sf)
+            _read_docs(spark, sf), _dup_pairs(spark, sf)
         ).select("doc_id"),
         _DUP_PAIRS_SQL
         + f"""
@@ -1845,7 +1860,7 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triplestore_spark.operators import dedup as DD
     from triplestore_spark.operators import textstats as TS
 
-    fdocs = TS.filter_documents(_read(spark, sf_dir, "documents"))
+    fdocs = TS.filter_documents(_read_docs(spark, sf_dir))
     pairs = DD.minhash_lsh_pairs(
         fdocs, n=3, num_hashes=32, bands=8, verify_threshold=0.5
     ).select("doc_a", "doc_b")
@@ -1856,7 +1871,7 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_ham0_same_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triplestore_spark.operators import dedup as DD
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_docs(spark, sf_dir)
     ham0 = DD.simhash_near_pairs(docs, max_hamming=0).select("doc_a", "doc_b")
     ts = docs.select(
         "doc_id",
