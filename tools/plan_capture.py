@@ -57,17 +57,27 @@ def main():
     plans["q1_pipeline_count"] = fmt(canon.groupBy().count())
 
     # q2: the per-layout sorted write input plans (the write itself is
-    # a sink over exactly this frame)
+    # a sink over exactly this frame). Partition count mirrors
+    # materialize_graph's default: size-derived when the fingerprint
+    # carries nbytes (r7), the old shuffle-partitions constant before.
+    from triplestore_spark.operators.materialize import graph_fingerprint
+
+    fp = graph_fingerprint(canon)
+    if "nbytes" in fp:
+        tgt = int(
+            os.environ.get(
+                "SPARK_GRAFT_MATERIALIZE_PARTITION_BYTES",
+                str(8 * 1024 * 1024),
+            )
+        )
+        np_ = max(1, -(-fp["nbytes"] // tgt))
+    else:
+        np_ = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bare = canon.select(*S.TRIPLE_FIELDS)
     for layout, keys in LAYOUTS.items():
-        try:
-            from triplestore_spark.operators.materialize import _layout_frame
-
-            lf = _layout_frame(bare, layout, None)
-        except ImportError:
-            lf = bare.repartitionByRange(
-                32, *[F.col(k) for k in keys]
-            ).sortWithinPartitions(*keys)
+        lf = bare.repartitionByRange(
+            np_, *[F.col(k) for k in keys]
+        ).sortWithinPartitions(*keys)
         plans[f"q2_write_{layout}"] = fmt(lf)
 
     # q3 needs a materialized graph on disk

@@ -52,7 +52,11 @@ def _estimated_scan_partitions(spark: SparkSession, docs: DataFrame) -> int:
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from triplestore_spark.session import read_parquet_table
+
+    docs = read_parquet_table(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
     # The synthetic corpus ships as ONE parquet row group, so the scan
     # cannot be split by maxPartitionBytes and everything before the
     # first exchange would run on one core. Repartition to the

@@ -30,7 +30,12 @@ from triplestore_spark.pipeline.run import run_pipeline
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # schema-memoized read (session.read_parquet_table): these are the
+    # driver's immutable input tables, re-opened on every query
+    # construction — re-inferring the schema cost ~70-100 ms per call
+    from triplestore_spark.session import read_parquet_table
+
+    return read_parquet_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

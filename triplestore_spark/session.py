@@ -13,6 +13,25 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# path -> inferred StructType. METADATA-only memo: re-inferring a
+# parquet schema costs a footer read + analysis (~70-100 ms per
+# spark.read.parquet call, measured) and the engine re-reads the same
+# immutable input tables on every query construction. Results are
+# still computed from the parquet files on every action — only the
+# schema (which Spark itself assumes immutable for a given path) is
+# reused.
+_SCHEMA_CACHE: dict = {}
+
+
+def read_parquet_table(spark: SparkSession, path: str):
+    """spark.read.parquet with a per-path schema memo (see above)."""
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def get_spark(
     app_name: str = "triplestore-spark",
