@@ -1543,17 +1543,25 @@ def _closure_pairs(
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            # every level is materialized via localCheckpoint, so the
+            # returned frame no longer references the edge lineage —
+            # release the edge cache instead of holding it until
+            # session end (guide §5: unpersist when done; repeated
+            # closure calls otherwise accumulate cached edge copies)
+            edges.unpersist()
             return reached
         reached = reached.unionByName(nxt)
         frontier = nxt
         if level % checkpoint_every == 0:
             reached = reached.localCheckpoint(eager=True)
         if hi is None and level >= max_depth:
+            edges.unpersist()
             raise ValueError(
                 f"property_path: closure still expanding after "
                 f"{max_depth} levels; raise closure_max_depth if the "
                 "graph really is that deep"
             )
+    edges.unpersist()
     return reached
 
 
