@@ -137,10 +137,14 @@ def extract_all_candidates_direct(
     (locked by tests/test_pipeline.py::test_single_pass_equals_union).
 
     Why: the union shape scans/shuffles the documents once PER BRANCH —
-    column pruning projects each branch differently, so exchange reuse
-    cannot collapse them (verified in plans/r07/q1_pipeline_count_
-    before.txt: two RoundRobinPartitioning exchanges) — and splits the
-    text once per branch. Building the three span-triple arrays in one
+    column pruning projects each branch differently ([doc_id, text] for
+    mentions/media vs all five columns for metadata), so exchange reuse
+    cannot collapse them: the round-start plan ran three separate
+    single-task scans (plans/r07/q1_pipeline_count_before.txt), and
+    after the under-split repartition it carried two separate
+    RoundRobinPartitioning exchanges of the same documents
+    (plans/r07/q1_pipeline_count_mid.txt) — and it splits the text once
+    per branch. Building the three span-triple arrays in one
     pass and exploding their concat gives one scan, one exchange, one
     Generate (guide §1.2-1 'remove unnecessary passes', §2.4 'remove
     shuffles outright'). Every expression below is copied verbatim from
