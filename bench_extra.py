@@ -12,7 +12,8 @@ Phases:
   p_dedup_noop    extract -> dedup (full canonical set), noop sink
   q1_count        the frozen q1 shape (count action)
   p_fingerprint   dedup -> cache -> graph_fingerprint (q2's first half)
-  p_writes        the three sorted layout writes off the warm cache
+  p_writes_incl_fp  materialize_graph off a warm cache: the in-call
+                    fingerprint pass plus the three sorted layout writes
   q5_noop         kg_entity_degree, noop sink
   q4_noop         tpch melt dedup, noop sink
   q6_encode       frozen shape (max(length) forcing)

@@ -64,13 +64,9 @@ def main():
 
     fp = graph_fingerprint(canon)
     if "nbytes" in fp:
-        tgt = int(
-            os.environ.get(
-                "SPARK_GRAFT_MATERIALIZE_PARTITION_BYTES",
-                str(8 * 1024 * 1024),
-            )
-        )
-        np_ = max(1, -(-fp["nbytes"] // tgt))
+        from triplestore_spark.operators.materialize import layout_partitions
+
+        np_ = layout_partitions(fp)
     else:
         np_ = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bare = canon.select(*S.TRIPLE_FIELDS)

@@ -1521,6 +1521,12 @@ def _closure_pairs(
         if (i + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
     if hi is not None and hi == lo:
+        # exact-hop path: release the edge cache here too (the cache
+        # only pays off across the many re-scans of the closure loop
+        # below; an exact quantifier re-reads edges `lo` times in one
+        # action at most, and holding the cache past return is the
+        # leak the loop exits avoid)
+        edges.unpersist()
         return cur.distinct()
     # Each level's frontier is localCheckpoint'ed (eager): the
     # anti-join against `reached` otherwise nests the ENTIRE previous

@@ -73,6 +73,30 @@ def graph_fingerprint(df: DataFrame) -> dict:
     }
 
 
+def layout_partitions(fp: dict) -> int:
+    """Derive the layout write's partition count from the DATA SIZE,
+    not a constant (guide §2/§6: scale-adaptive partitioning, output
+    file sizing): one partition per TARGET logical bytes of triple
+    text (`nbytes` from graph_fingerprint), so a 10x corpus gets 10x
+    the files and a tiny corpus is not sprayed across 32 near-empty
+    sorted files (measured: 3-layout write of the sf1.0-sim corpus
+    3.3 s at the old constant 32 vs 2.6 s size-derived; 2.7 s -> 1.4 s
+    at sf0.1 — OPTIMIZATION_r07.md). The default target is
+    local-sized; production deployments set
+    SPARK_GRAFT_MATERIALIZE_PARTITION_BYTES to ~512 MB (logical) for
+    100-200 MB zstd parquet files per guide §6, or move the writer to
+    Iceberg write.target-file-size-bytes. Shared with
+    tools/plan_capture.py so the captured write plans always match the
+    real writer's partitioning."""
+    target = int(
+        os.environ.get(
+            "SPARK_GRAFT_MATERIALIZE_PARTITION_BYTES",
+            str(8 * 1024 * 1024),
+        )
+    )
+    return max(1, -(-int(fp.get("nbytes", 0)) // max(1, target)))
+
+
 def materialize_graph(
     df: DataFrame,
     path: str,
@@ -104,32 +128,21 @@ def materialize_graph(
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             old = json.load(f)
-        if old.get("fingerprint") == fp and set(old.get("layouts", [])) >= set(
-            layouts
-        ):
+        # content identity is (count, hx, hx2) — compare exactly those
+        # keys so manifests written before the fingerprint grew its
+        # `nbytes` sizing field still memoize instead of re-writing an
+        # unchanged snapshot
+        def _core(d: dict) -> tuple:
+            return (d.get("count"), d.get("hx"), d.get("hx2"))
+
+        if _core(old.get("fingerprint", {})) == _core(fp) and set(
+            old.get("layouts", [])
+        ) >= set(layouts):
             canon.unpersist()
             return old
 
     if num_partitions is None:
-        # Derive the layout partitioning from the DATA SIZE, not a
-        # constant (guide §2/§6: scale-adaptive partitioning, output
-        # file sizing): one partition per TARGET logical bytes of
-        # triple text, so a 10x corpus gets 10x the files and a tiny
-        # corpus is not sprayed across 32 near-empty sorted files
-        # (measured: 3-layout write of the sf1.0-sim corpus 3.3 s at
-        # the old constant 32 vs 2.6 s size-derived; 2.7 s -> 1.4 s at
-        # sf0.1 — OPTIMIZATION_r07.md). The default target is local-
-        # sized; production deployments set
-        # SPARK_GRAFT_MATERIALIZE_PARTITION_BYTES to ~512 MB (logical)
-        # for 100-200 MB zstd parquet files per guide §6, or move the
-        # writer to Iceberg write.target-file-size-bytes.
-        target = int(
-            os.environ.get(
-                "SPARK_GRAFT_MATERIALIZE_PARTITION_BYTES",
-                str(8 * 1024 * 1024),
-            )
-        )
-        num_partitions = max(1, -(-fp["nbytes"] // max(1, target)))
+        num_partitions = layout_partitions(fp)
 
     bare = canon
 

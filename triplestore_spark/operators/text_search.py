@@ -310,16 +310,19 @@ def similar_documents(
         build_text_index(docs, id_col=id_col, text_col=text_col), dim=dim
     )
     if query_ids is None:
-        n = vecs.count()  # one agg over the (id, vector) frame
-        if n > max_default_docs:
+        # one bounded job: pull at most bound+1 ids — this both checks
+        # the bound and supplies the ids, instead of a full count()
+        # pass plus a second unbounded collect of the same lineage
+        rows = vecs.select("id").limit(max_default_docs + 1).collect()
+        if len(rows) > max_default_docs:
             raise ValueError(
-                f"similar_documents: {n} documents exceeds "
-                f"max_default_docs={max_default_docs} for the all-pairs "
-                "default; pass explicit query_ids, or use "
+                f"similar_documents: more than "
+                f"max_default_docs={max_default_docs} documents for the "
+                "all-pairs default; pass explicit query_ids, or use "
                 "similarity.lsh_topk / similarity.ivf_topk over "
                 "tfidf_vectors for the corpus-scale shape"
             )
-        query_ids = [r["id"] for r in vecs.select("id").collect()]
+        query_ids = [r["id"] for r in rows]
     return brute_force_topk(
         vecs, query_ids, k=k, id_col="id", vec_col="vector"
     )

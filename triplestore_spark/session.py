@@ -13,24 +13,29 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
-# path -> inferred StructType. METADATA-only memo: re-inferring a
-# parquet schema costs a footer read + analysis (~70-100 ms per
-# spark.read.parquet call, measured) and the engine re-reads the same
-# immutable input tables on every query construction. Results are
-# still computed from the parquet files on every action — only the
-# schema (which Spark itself assumes immutable for a given path) is
-# reused.
+# path -> (mtime, inferred StructType). METADATA-only memo:
+# re-inferring a parquet schema costs a footer read + analysis
+# (~70-100 ms per spark.read.parquet call, measured) and the engine
+# re-reads the same immutable input tables on every query
+# construction. Results are still computed from the parquet files on
+# every action — only the schema is reused, and only while the path's
+# mtime is unchanged, so an in-process rewrite re-infers.
 _SCHEMA_CACHE: dict = {}
 
 
 def read_parquet_table(spark: SparkSession, path: str):
     """spark.read.parquet with a per-path schema memo (see above)."""
-    schema = _SCHEMA_CACHE.get(path)
-    if schema is None:
-        df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        # non-local / unstat-able path: no memo, plain read
+        return spark.read.parquet(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = (mtime, df.schema)
+    return df
 
 
 def get_spark(
